@@ -1,0 +1,610 @@
+"""ProxDDP — proximal augmented-Lagrangian DDP solver.
+
+TPU-native re-design of include/aligator/solvers/proxddp/solver-proxddp.hxx:
+the BCL outer loop, the inner Newton loop and the linesearch are nested
+``lax.while_loop``s inside ONE jitted program; per-stage work is vmapped;
+the LQ subproblem is the GAR pytree solved by the scan-based (or
+leg-parallel) proximal Riccati. Where the reference throws on NaN and
+catches in the linesearch (linesearch-nonmonotone.hpp:29-37), we mask:
+a non-finite merit rejects the trial step and the backtracking continues
+(SURVEY §7.0). The whole solver jit/vmaps — batch-solving thousands of
+problem instances is `jax.vmap(solve)`.
+
+Algorithm map (file:line into the reference):
+  run()                solver-proxddp.hxx:421   → solve()/_outer_loop
+  innerLoop()          :555                     → _inner_loop
+  computeMultipliers() :219                     → _compute_multipliers
+  ALFunction           merit-function.hxx:33    → _merit / _merit_dderiv
+  Lagrangian grads     core/lagrangian.hpp:28   → _lagrangian_derivs
+  computeCriterion()   :703                     → _criterion
+  computeProjectedJacobians :24                 → inside _build_lq
+  updateLQSubproblem() :734                     → _build_lq
+  tryLinearStep()      :111                     → _try_step
+  nonmonotone LS       linesearch-nonmonotone.hpp → _linesearch
+  BCL params/tols      solver-proxddp.hpp:105-118,326-361
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from aligator_tpu.gar.lqr_problem import LQRProblem
+from aligator_tpu.gar import riccati as _riccati
+from aligator_tpu.gar.parallel import parallel_solve as _parallel_solve
+from aligator_tpu.problem import (
+    TrajOptProblem,
+    ProblemData,
+    ProblemDerivs,
+    evaluate as _evaluate,
+    compute_derivatives as _compute_derivatives,
+    xs_default_init,
+    us_default_init,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class ProxDDPSettings:
+    """Runtime solver parameters (reference solver-proxddp.hpp:120-183).
+    All fields are static — a settings change retriggers compilation."""
+
+    tol: float = 1e-6
+    dual_tol: Optional[float] = None  # defaults to tol (sync_dual_tol_)
+    mu_init: float = 0.01
+    max_iters: int = 100
+    max_al_iters: int = 100
+    # BCL (AlmParams)
+    prim_alpha: float = 0.1
+    prim_beta: float = 0.9
+    dual_alpha: float = 1.0
+    dual_beta: float = 1.0
+    mu_update_factor: float = 0.01
+    mu_lower_bound: float = 1e-8
+    # regularization ladder (IPOPT-style)
+    reg_min: float = 1e-10
+    reg_max: float = 1e9
+    reg_init: float = 1e-9
+    reg_inc_k: float = 10.0
+    reg_inc_first_k: float = 100.0
+    reg_dec_k: float = 1.0 / 3.0
+    # linesearch (LinesearchOptions + NonmonotoneLinesearch)
+    armijo_c1: float = 1e-4
+    alpha_min: float = 1e-6
+    ls_beta: float = 0.5
+    ls_max_steps: int = 25
+    ls_avg_eta: float = 0.85
+    dphi_thresh: float = 1e-13
+    # misc
+    mu_dyn_scale: float = 0.1  # mu_dyn() = 0.1 * mu (solver-proxddp.hpp:313)
+    riccati_refine: int = 1
+    # parallel (partitioned-condensing) LQ solver: number of legs; 0 = serial
+    lq_num_legs: int = 0
+    lq_mesh: Any = None
+    lq_axis_name: str = "t"
+
+
+class Multipliers(NamedTuple):
+    """AL multiplier estimates at a point (computeMultipliers outputs)."""
+
+    lams_plus: jax.Array  # (N+1, ndx) [0] = init-constraint estimate
+    vs_plus: jax.Array  # (N, nc)
+    vs_plus_term: jax.Array  # (nc_term,)
+    Lvs: jax.Array  # (N, nc)
+    Lvs_term: jax.Array  # (nc_term,)
+    shifted: jax.Array  # (N, nc)
+    shifted_term: jax.Array  # (nc_term,)
+    active: jax.Array  # (N, nc)
+    active_term: jax.Array  # (nc_term,)
+    prim_infeas: jax.Array  # ()
+
+
+class Point(NamedTuple):
+    """Primal-dual iterate."""
+
+    xs: jax.Array  # (N+1, nx)
+    us: jax.Array  # (N, nu)
+    vs: jax.Array  # (N, nc)
+    vs_term: jax.Array  # (nc_term,)
+    lams: jax.Array  # (N+1, ndx)
+
+
+@struct.dataclass
+class ProxDDPResults:
+    """Solver output (reference ResultsTpl)."""
+
+    xs: jax.Array
+    us: jax.Array
+    vs: jax.Array
+    vs_term: jax.Array
+    lams: jax.Array
+    conv: jax.Array  # bool
+    prim_infeas: jax.Array
+    dual_infeas: jax.Array
+    traj_cost: jax.Array
+    merit_value: jax.Array
+    num_iters: jax.Array  # int
+    al_iter: jax.Array  # int
+    mu_final: jax.Array
+
+
+@struct.dataclass
+class _State:
+    pt: Point
+    prev_vs: jax.Array
+    prev_vs_term: jax.Array
+    mu: jax.Array
+    inner_tol: jax.Array
+    prim_tol: jax.Array
+    preg: jax.Array
+    preg_last: jax.Array
+    iters: jax.Array
+    al_iter: jax.Array
+    conv: jax.Array
+    failed: jax.Array
+    prim_infeas: jax.Array
+    dual_infeas: jax.Array
+    inner_crit: jax.Array
+    traj_cost: jax.Array
+    merit: jax.Array
+    ls_avg: jax.Array
+    ls_w: jax.Array
+
+
+def _inf(a):
+    return jnp.max(jnp.abs(a)) if a.size else jnp.asarray(0.0, a.dtype)
+
+
+# ---------------------------------------------------------------------------
+
+
+def _compute_multipliers(
+    problem: TrajOptProblem, s: ProxDDPSettings, data: ProblemData, pt: Point,
+    prev_vs, prev_vs_term, mu,
+) -> Multipliers:
+    """solver-proxddp.hxx:219-318."""
+    mu_dyn = s.mu_dyn_scale * mu
+    lam0_plus = pt.lams[0] + data.init_err / mu
+    lams_plus = pt.lams.at[0].set(lam0_plus)
+    lams_plus = lams_plus.at[1:].set(pt.lams[1:] + data.dyn_defects / mu_dyn)
+
+    sp = problem.stage_set_product
+    tp = problem.term_set_product
+
+    shifted = data.cstr_vals + mu * prev_vs
+    raw = sp.normal_cone_projection(shifted, mu) if problem.nc else shifted
+    active = sp.active_set(shifted, mu) if problem.nc else shifted
+    Lvs = raw - mu * pt.vs
+    vs_plus = raw / mu
+    stage_infeas = raw - mu * prev_vs
+
+    shifted_t = data.term_cstr_vals + mu * prev_vs_term
+    raw_t = tp.normal_cone_projection(shifted_t, mu) if problem.nc_term else shifted_t
+    active_t = tp.active_set(shifted_t, mu) if problem.nc_term else shifted_t
+    Lvs_t = raw_t - mu * pt.vs_term
+    vs_plus_t = raw_t / mu
+    term_infeas = raw_t - mu * prev_vs_term
+
+    prim_infeas = jnp.maximum(
+        jnp.maximum(_inf(stage_infeas), _inf(term_infeas)),
+        jnp.maximum(_inf(data.dyn_defects), _inf(data.init_err)),
+    )
+    return Multipliers(
+        lams_plus=lams_plus,
+        vs_plus=vs_plus,
+        vs_plus_term=vs_plus_t,
+        Lvs=Lvs,
+        Lvs_term=Lvs_t,
+        shifted=shifted,
+        shifted_term=shifted_t,
+        active=active,
+        active_term=active_t,
+        prim_infeas=prim_infeas,
+    )
+
+
+def _merit(s: ProxDDPSettings, data: ProblemData, mult: Multipliers, mu):
+    """ALFunction::evaluate (merit-function.hxx:33-64)."""
+    mu_dyn = s.mu_dyn_scale * mu
+    sq = lambda a: jnp.sum(a * a)
+    pen = 0.5 * mu * sq(mult.lams_plus[0])
+    pen += 0.5 * mu_dyn * sq(mult.lams_plus[1:])
+    pen += 0.5 * mu * (sq(mult.vs_plus) + sq(mult.vs_plus_term))
+    return data.traj_cost + pen
+
+
+def _lagrangian_derivs(
+    problem: TrajOptProblem, derivs: ProblemDerivs, lams, vs, vs_term
+):
+    """core/lagrangian.hpp:28-92 → (Lxs (N+1, ndx), Lus (N, nu))."""
+    N = problem.nsteps
+    Lxs = derivs.Lx
+    Lus = derivs.Lu
+    # init constraint
+    Lxs = Lxs.at[0].add(derivs.G0.T @ lams[0])
+    # dynamics coupling
+    Lxs = Lxs.at[:N].add(jnp.einsum("tij,ti->tj", derivs.A, lams[1:]))
+    Lus = Lus + jnp.einsum("tij,ti->tj", derivs.B, lams[1:])
+    Lxs = Lxs.at[1:].add(-lams[1:])
+    # path constraints
+    if problem.nc:
+        Lxs = Lxs.at[:N].add(jnp.einsum("tij,ti->tj", derivs.Cx, vs))
+        Lus = Lus + jnp.einsum("tij,ti->tj", derivs.Cu, vs)
+    if problem.nc_term:
+        Lxs = Lxs.at[N].add(derivs.Cx_term.T @ vs_term)
+    return Lxs, Lus
+
+
+def _criterion(problem, data: ProblemData, Lxs, Lus, mult: Multipliers):
+    """solver-proxddp.hxx:703-732 (Lxs[0] is pre-zeroed by the caller under
+    force_initial_condition)."""
+    rx = jnp.max(jnp.abs(Lxs))
+    ru = _inf(Lus)
+    rd = jnp.maximum(_inf(data.dyn_defects), _inf(data.init_err))
+    rc = jnp.maximum(_inf(mult.Lvs), _inf(mult.Lvs_term))
+    inner_crit = jnp.maximum(jnp.maximum(rx, ru), jnp.maximum(rd, rc))
+    dual_infeas = jnp.maximum(rx, ru)
+    return inner_crit, dual_infeas
+
+
+def _build_lq(
+    problem: TrajOptProblem,
+    data: ProblemData,
+    derivs: ProblemDerivs,
+    mult: Multipliers,
+    Lxs,
+    Lus,
+    mu,
+    preg,
+) -> LQRProblem:
+    """computeProjectedJacobians (:24-69) + updateLQSubproblem (:734-805)."""
+    N = problem.nsteps
+    ndx, nu, nc, nct = problem.ndx, problem.nu, problem.nc, problem.nc_term
+    ncp = max(nc, nct)
+    dt = data.costs.dtype
+    eye_x = jnp.eye(ndx, dtype=dt)
+    eye_u = jnp.eye(nu, dtype=dt)
+
+    # projected Jacobians + rhs corrections
+    if nc:
+        inactive = 1.0 - mult.active
+        Lv_mu = mult.Lvs / mu
+        corr_x = jnp.einsum("tij,ti->tj", derivs.Cx, inactive * Lv_mu)
+        corr_u = jnp.einsum("tij,ti->tj", derivs.Cu, inactive * Lv_mu)
+        Cx_p = mult.active[..., None] * derivs.Cx
+        Cu_p = mult.active[..., None] * derivs.Cu
+    else:
+        corr_x = jnp.zeros((N, ndx), dt)
+        corr_u = jnp.zeros((N, nu), dt)
+        Cx_p = derivs.Cx
+        Cu_p = derivs.Cu
+    if nct:
+        inactive_t = 1.0 - mult.active_term
+        corr_xN = derivs.Cx_term.T @ (inactive_t * (mult.Lvs_term / mu))
+        CxN_p = mult.active_term[:, None] * derivs.Cx_term
+    else:
+        corr_xN = jnp.zeros((ndx,), dt)
+        CxN_p = derivs.Cx_term
+
+    # stacked knots 0..N (terminal control slot = exact padding R=I)
+    Q = jnp.concatenate([derivs.Lxx[:N] + preg * eye_x,
+                         (derivs.Lxx[N] + preg * eye_x)[None]], axis=0)
+    R = jnp.concatenate([derivs.Luu + preg * eye_u,
+                         jnp.eye(nu, dtype=dt)[None]], axis=0)
+    S = jnp.concatenate([derivs.Lxu, jnp.zeros((1, ndx, nu), dt)], axis=0)
+    q = jnp.concatenate([Lxs[:N] + corr_x, (Lxs[N] + corr_xN)[None]], axis=0)
+    r = jnp.concatenate([Lus, jnp.zeros((1, nu), dt)], axis=0)
+
+    A = jnp.concatenate([derivs.A, jnp.zeros((1, ndx, ndx), dt)], axis=0)
+    B = jnp.concatenate([derivs.B, jnp.zeros((1, ndx, nu), dt)], axis=0)
+    f = jnp.concatenate([data.dyn_defects, jnp.zeros((1, ndx), dt)], axis=0)
+
+    C = jnp.zeros((N + 1, ncp, ndx), dt)
+    D = jnp.zeros((N + 1, ncp, nu), dt)
+    d = jnp.zeros((N + 1, ncp), dt)
+    if nc:
+        C = C.at[:N, :nc].set(Cx_p)
+        D = D.at[:N, :nc].set(Cu_p)
+        d = d.at[:N, :nc].set(mult.Lvs)
+    if nct:
+        C = C.at[N, :nct].set(CxN_p)
+        d = d.at[N, :nct].set(mult.Lvs_term)
+
+    zth = jnp.zeros((N + 1, 0), dt)
+    return LQRProblem(
+        Q=Q, S=S, R=R, q=q, r=r, A=A, B=B, f=f, C=C, D=D, d=d,
+        Gx=jnp.zeros((N + 1, ndx, 0), dt), Gu=jnp.zeros((N + 1, nu, 0), dt),
+        Gth=jnp.zeros((N + 1, 0, 0), dt), gamma=zth,
+        G0=derivs.G0, g0=data.init_err,
+    )
+
+
+def _solve_lq(s: ProxDDPSettings, lq: LQRProblem, mu):
+    if s.lq_num_legs and s.lq_num_legs > 1:
+        return _parallel_solve(
+            lq, mu, s.lq_num_legs, mesh=s.lq_mesh, axis_name=s.lq_axis_name,
+            refine_steps=s.riccati_refine,
+        )
+    factors = _riccati.backward(lq, mu, refine_steps=s.riccati_refine)
+    return _riccati.forward(lq, factors)
+
+
+# ---------------------------------------------------------------------------
+
+
+def solve(
+    problem: TrajOptProblem,
+    settings: ProxDDPSettings = ProxDDPSettings(),
+    xs_init: Optional[jax.Array] = None,
+    us_init: Optional[jax.Array] = None,
+    vs_init: Optional[jax.Array] = None,
+    lams_init: Optional[jax.Array] = None,
+) -> ProxDDPResults:
+    """Run ProxDDP (reference SolverProxDDPTpl::run, solver-proxddp.hxx:421).
+    Pure jittable function; warm starts are optional arrays.
+
+    ``force_initial_condition`` semantics (the reference default) are
+    baked in: xs[0] is pinned to problem.x0, dxs[0] = dlams[0] = 0.
+    """
+    s = settings
+    N = problem.nsteps
+    nc, nct, ndx = problem.nc, problem.nc_term, problem.ndx
+
+    xs0 = xs_default_init(problem) if xs_init is None else jnp.asarray(xs_init)
+    us0 = us_default_init(problem) if us_init is None else jnp.asarray(us_init)
+    xs0 = xs0.at[0].set(problem.x0)
+    dt = xs0.dtype
+
+    vs0 = jnp.zeros((N, nc), dt) if vs_init is None else jnp.asarray(vs_init)
+    vsT0 = jnp.zeros((nct,), dt)
+    lams0 = jnp.zeros((N + 1, ndx), dt) if lams_init is None else jnp.asarray(lams_init)
+
+    target_tol = jnp.asarray(s.tol, dt)
+    target_dual = jnp.asarray(s.tol if s.dual_tol is None else s.dual_tol, dt)
+
+    def tols_on_failure(mu):
+        arg = jnp.minimum(mu, 0.99)
+        return (arg**s.prim_alpha, arg**s.dual_alpha)  # (prim_tol, inner_tol)
+
+    mu_init = jnp.maximum(jnp.asarray(s.mu_init, dt), s.mu_lower_bound)
+    prim_tol0, inner_tol0 = tols_on_failure(mu_init)
+    inner_tol0 = jnp.maximum(inner_tol0, target_dual)
+    prim_tol0 = jnp.maximum(prim_tol0, target_tol)
+
+    pt0 = Point(xs=xs0, us=us0, vs=vs0, vs_term=vsT0, lams=lams0)
+    zero = jnp.asarray(0.0, dt)
+    state0 = _State(
+        pt=pt0, prev_vs=vs0, prev_vs_term=vsT0,
+        mu=mu_init, inner_tol=inner_tol0, prim_tol=prim_tol0,
+        preg=jnp.asarray(s.reg_init, dt), preg_last=zero,
+        iters=jnp.asarray(0, jnp.int32), al_iter=jnp.asarray(0, jnp.int32),
+        conv=jnp.asarray(False), failed=jnp.asarray(False),
+        prim_infeas=zero, dual_infeas=zero, inner_crit=zero,
+        traj_cost=zero, merit=zero, ls_avg=zero, ls_w=zero,
+    )
+
+    # ------------------------------------------------------------------
+    def eval_point(pt: Point, prev_vs, prev_vs_term, mu):
+        data = _evaluate(problem, pt.xs, pt.us)
+        mult = _compute_multipliers(problem, s, data, pt, prev_vs, prev_vs_term, mu)
+        phi = _merit(s, data, mult, mu)
+        return data, mult, phi
+
+    def try_step(pt: Point, dpt: Point, alpha):
+        """tryLinearStep (:111-155): manifold step x ⊕ α dx."""
+        xs = jax.vmap(problem.space.integrate)(pt.xs, alpha * dpt.xs)
+        xs = xs.at[0].set(pt.xs[0])  # force initial condition (dxs[0]=0)
+        return Point(
+            xs=xs,
+            us=pt.us + alpha * dpt.us,
+            vs=pt.vs + alpha * dpt.vs,
+            vs_term=pt.vs_term + alpha * dpt.vs_term,
+            lams=pt.lams + alpha * dpt.lams,
+        )
+
+    # ------------------------------------------------------------------
+    def inner_iteration(st: _State, data, mult):
+        """One Newton iteration (body of innerLoop's for, :577-699).
+        Returns (state, data, mult, exit_inner). The step is skipped (no-op
+        branch of lax.cond) when the subproblem criterion already passes —
+        mirroring the reference's early return at :598-601."""
+        derivs = _compute_derivatives(problem, st.pt.xs, st.pt.us)
+
+        # criterion at current multipliers
+        Lxs_c, Lus_c = _lagrangian_derivs(
+            problem, derivs, st.pt.lams, st.pt.vs, st.pt.vs_term
+        )
+        Lxs_c = Lxs_c.at[0].set(0.0)  # force_initial_condition (:592-594)
+        inner_crit, dual_infeas = _criterion(problem, data, Lxs_c, Lus_c, mult)
+
+        converged = (dual_infeas <= target_dual) & (mult.prim_infeas <= target_tol)
+        exit_ok = (inner_crit <= st.inner_tol) | converged
+        st = st.replace(inner_crit=inner_crit, dual_infeas=dual_infeas,
+                        conv=converged)
+
+        def no_step(_):
+            return st, data, mult, jnp.asarray(True)
+
+        def do_step(_):
+            return _newton_step(st, data, mult, derivs, Lxs_c, Lus_c,
+                                inner_crit, dual_infeas, converged)
+
+        return jax.lax.cond(exit_ok, no_step, do_step, None)
+
+    def _newton_step(st, data, mult, derivs, Lxs_c, Lus_c,
+                     inner_crit, dual_infeas, converged):
+        # LQ subproblem + Riccati
+        preg = jnp.where(
+            st.preg_last == 0.0,
+            jnp.maximum(s.reg_init, s.reg_min),
+            jnp.maximum(s.reg_min, st.preg_last * s.reg_dec_k),
+        )
+        lq = _build_lq(problem, data, derivs, mult, Lxs_c, Lus_c, st.mu, preg)
+        dxs, dus_full, dvs_full, dlams = _solve_lq(s, lq, st.mu)
+        dxs = dxs.at[0].set(0.0)
+        dlams = dlams.at[0].set(0.0)
+        dpt = Point(
+            xs=dxs, us=dus_full[:N],
+            vs=dvs_full[:N, :nc],
+            vs_term=dvs_full[N, :nct],
+            lams=dlams,
+        )
+
+        # directional derivative with AL multiplier estimates (merit-function.hxx:66)
+        Lxs_p, Lus_p = _lagrangian_derivs(
+            problem, derivs, mult.lams_plus, mult.vs_plus, mult.vs_plus_term
+        )
+        dphi0 = jnp.sum(Lxs_p * dpt.xs) + jnp.sum(Lus_p * dpt.us)
+        exit_dphi = jnp.abs(dphi0) <= s.dphi_thresh  # early stop (:644)
+
+        # nonmonotone (Zhang-Hager) linesearch -------------------------------
+        phi0 = st.merit
+        ls_avg = (s.ls_avg_eta * st.ls_w * st.ls_avg + phi0) / (
+            s.ls_avg_eta * st.ls_w + 1.0
+        )
+        ls_w = s.ls_avg_eta * st.ls_w + 1.0
+
+        def ls_eval(alpha):
+            pt_try = try_step(st.pt, dpt, alpha)
+            data_t, mult_t, phi_t = eval_point(
+                pt_try, st.prev_vs, st.prev_vs_term, st.mu
+            )
+            return pt_try, data_t, mult_t, phi_t
+
+        pt1, data1, mult1, phi1 = ls_eval(jnp.asarray(1.0, dt))
+        ok1 = jnp.isfinite(phi1) & (phi1 <= ls_avg + s.armijo_c1 * 1.0 * dphi0)
+
+        def ls_cond(c):
+            alpha, done, cnt = c[0], c[1], c[2]
+            return (~done) & (cnt < s.ls_max_steps)
+
+        def ls_body(c):
+            alpha, done, cnt = c[0], c[1], c[2]
+            alpha_n = jnp.maximum(alpha * s.ls_beta, s.alpha_min)
+            pt_t, data_t, mult_t, phi_t = ls_eval(alpha_n)
+            ok = jnp.isfinite(phi_t) & (
+                phi_t <= ls_avg + s.armijo_c1 * alpha_n * dphi0
+            )
+            done_n = ok | (alpha_n <= s.alpha_min)
+            return (alpha_n, done_n, cnt + 1, pt_t, data_t, mult_t, phi_t)
+
+        alpha_f, _, _, pt_f, data_f, mult_f, phi_f = jax.lax.while_loop(
+            ls_cond, ls_body, (jnp.asarray(1.0, dt), ok1, jnp.asarray(0, jnp.int32),
+                               pt1, data1, mult1, phi1)
+        )
+
+        # accept step
+        hit_min = alpha_f <= s.alpha_min
+        preg_next = jnp.where(
+            hit_min,
+            jnp.where(st.preg_last == 0.0, preg * s.reg_inc_first_k, preg * s.reg_inc_k),
+            preg,
+        )
+        fail_reg = hit_min & (preg >= s.reg_max)
+
+        st = st.replace(
+            pt=pt_f,
+            traj_cost=data_f.traj_cost,
+            merit=phi_f,
+            prim_infeas=mult_f.prim_infeas,
+            preg=preg_next,
+            preg_last=preg_next,
+            ls_avg=ls_avg,
+            ls_w=ls_w,
+            iters=st.iters + 1,
+            failed=st.failed | fail_reg | ~jnp.isfinite(phi_f),
+        )
+        return st, data_f, mult_f, exit_dphi
+
+    def inner_loop(st: _State):
+        """innerLoop (:555-701): evaluate, then Newton-iterate until the
+        subproblem criterion passes or budgets blow."""
+        data, mult, phi = eval_point(st.pt, st.prev_vs, st.prev_vs_term, st.mu)
+        st = st.replace(
+            merit=phi, traj_cost=data.traj_cost, prim_infeas=mult.prim_infeas
+        )
+
+        def cond(carry):
+            st_c, _, _, exit_c = carry
+            return (
+                (~exit_c)
+                & (~st_c.failed)
+                & (st_c.iters < s.max_iters)
+            )
+
+        def body(carry):
+            st_c, data_c, mult_c, _ = carry
+            return inner_iteration(st_c, data_c, mult_c)
+
+        # run at least one criterion check (exit flag starts False)
+        st, data, mult, exited = jax.lax.while_loop(
+            cond, body, (st, data, mult, jnp.asarray(False))
+        )
+        # recompute criterion info at the final point for BCL bookkeeping
+        return st.replace(failed=st.failed | (~exited & (st.iters >= s.max_iters))), mult
+
+    # ------------------------------------------------------------------
+    def outer_cond(st: _State):
+        return (
+            (st.al_iter < s.max_al_iters)
+            & (st.iters < s.max_iters)
+            & (~st.conv)
+            & (~st.failed)
+        )
+
+    def outer_body(st: _State):
+        st, mult = inner_loop(st)
+        # reset linesearch moving average each AL cycle (linesearch_.reset())
+        st = st.replace(ls_avg=zero, ls_w=zero)
+
+        def on_success(st: _State):
+            # do { updateTolsOnSuccess() } while (inner_crit < inner_tol)
+            arg = jnp.minimum(st.mu, 0.99)
+
+            def tbody(tols):
+                return (tols[0] * arg**s.prim_beta, tols[1] * arg**s.dual_beta)
+
+            def tcond(tols):
+                return st.inner_crit < tols[1]
+
+            prim_tol, inner_tol = jax.lax.while_loop(
+                tcond, tbody, tbody((st.prim_tol, st.inner_tol))
+            )
+            # NEWTON multiplier update mode (default): prev_vs ← vs
+            conv = (st.dual_infeas <= target_dual) & (st.prim_infeas <= target_tol)
+            return st.replace(
+                prev_vs=st.pt.vs,
+                prev_vs_term=st.pt.vs_term,
+                prim_tol=prim_tol,
+                inner_tol=inner_tol,
+                conv=st.conv | conv,
+            )
+
+        def on_failure(st: _State):
+            mu_n = jnp.maximum(st.mu * s.mu_update_factor, s.mu_lower_bound)
+            prim_tol, inner_tol = tols_on_failure(mu_n)
+            # reset penalty to mu_init if it bottomed out (:517-520)
+            mu_n = jnp.where(mu_n <= s.mu_lower_bound * (1.0 + 1e-12), mu_init, mu_n)
+            return st.replace(mu=mu_n, prim_tol=prim_tol, inner_tol=inner_tol)
+
+        st = jax.lax.cond(st.prim_infeas <= st.prim_tol, on_success, on_failure, st)
+        st = st.replace(
+            inner_tol=jnp.maximum(st.inner_tol, 0.01 * target_dual),
+            prim_tol=jnp.maximum(st.prim_tol, target_tol),
+            al_iter=st.al_iter + 1,
+        )
+        return st
+
+    st = jax.lax.while_loop(outer_cond, outer_body, state0)
+
+    return ProxDDPResults(
+        xs=st.pt.xs, us=st.pt.us, vs=st.pt.vs, vs_term=st.pt.vs_term,
+        lams=st.pt.lams, conv=st.conv,
+        prim_infeas=st.prim_infeas, dual_infeas=st.dual_infeas,
+        traj_cost=st.traj_cost, merit_value=st.merit,
+        num_iters=st.iters, al_iter=st.al_iter, mu_final=st.mu,
+    )
