@@ -1,0 +1,199 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Workload (mirrors the reference's bench/lqr.cpp:25-57: LQR chain with
+Talos dims nx=56, nu=22, fixed 2 solver iterations, and the BASELINE.md
+north-star metric "MPC solves/sec/chip at horizon N=100"): batched ProxDDP
+solves of a constrained LQR-class problem, f32 on the TPU chip.
+
+Baseline: the reference publishes no numbers and cannot be built here
+(no Eigen/fmt/google-benchmark in the image, 2 CPU cores) — see
+BASELINE.md. The stand-in baseline is a faithful single-thread numpy f64
+implementation of the reference's *serial proximal Riccati recursion*
+(gar/riccati-kernel.hxx math), charged ONLY for the two Riccati
+backward+forward sweeps per solve (no problem evaluation, no linesearch,
+no multiplier updates) — i.e. the baseline is deliberately favored, so
+``vs_baseline`` is a conservative lower bound on the true speedup.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+
+from aligator_tpu import manifolds as M
+from aligator_tpu import costs as C
+from aligator_tpu import constraints as S
+from aligator_tpu.dynamics import LinearDiscreteDynamics
+from aligator_tpu.functions import ControlErrorResidual
+from aligator_tpu.problem import build_problem
+from aligator_tpu.solvers import ProxDDPSettings, proxddp_solve
+
+NX = 56  # Talos-reduced ndx (SURVEY §8.4)
+NU = 22
+NSTEPS = 100
+BATCH = 64
+SOLVER_ITERS = 2  # bench/lqr.cpp:38 max_iters=2
+
+
+def _make_problem(dtype=jnp.float32):
+    rng = np.random.default_rng(0)
+    space = M.VectorSpace(NX)
+    A = np.eye(NX) + 0.05 * rng.standard_normal((NX, NX)) / np.sqrt(NX)
+    B = rng.standard_normal((NX, NU)) / np.sqrt(NX)
+    c = 0.01 * rng.standard_normal(NX)
+    dyn = LinearDiscreteDynamics(
+        A=jnp.asarray(A, dtype), B=jnp.asarray(B, dtype), c=jnp.asarray(c, dtype)
+    )
+    rcost = C.QuadraticCost.create(
+        jnp.asarray(0.01 * np.eye(NX), dtype), jnp.asarray(0.01 * np.eye(NU), dtype)
+    )
+    tcost = C.QuadraticCost.create(
+        jnp.asarray(np.eye(NX), dtype), jnp.asarray(0.01 * np.eye(NU), dtype)
+    )
+    box = S.BoxConstraint(lower=(-0.5,) * NU, upper=(0.5,) * NU)
+    x0 = jnp.asarray(0.1 * rng.standard_normal(NX), dtype)
+    problem = build_problem(
+        space, NU, NSTEPS, x0, dyn, rcost, tcost,
+        constraints=((ControlErrorResidual(target=jnp.zeros(NU, dtype)), box, NU),),
+    )
+    return problem
+
+
+def bench_tpu():
+    problem = _make_problem()
+    settings = ProxDDPSettings(
+        tol=1e-7, mu_init=1e-2, max_iters=SOLVER_ITERS, max_al_iters=SOLVER_ITERS,
+    )
+    rng = np.random.default_rng(1)
+    x0s = jnp.asarray(0.1 * rng.standard_normal((BATCH, NX)), jnp.float32)
+
+    solve = jax.jit(
+        jax.vmap(lambda x0: proxddp_solve(problem.replace_x0(x0), settings))
+    )
+    # warm-up / compile
+    res = solve(x0s)
+    jax.block_until_ready(res.xs)
+
+    n_rep = 5
+    t0 = time.perf_counter()
+    for i in range(n_rep):
+        res = solve(x0s)
+        jax.block_until_ready(res.xs)
+    dt = (time.perf_counter() - t0) / n_rep
+    return BATCH / dt, float(jnp.mean(res.prim_infeas))
+
+
+# ---------------------------------------------------------------------------
+# numpy f64 baseline: serial proximal Riccati (riccati-kernel.hxx math),
+# 2 backward+forward sweeps per "solve".
+# ---------------------------------------------------------------------------
+
+
+def _np_riccati(Q, S, R, q, r, A, B, f, C_, D, d, mueq):
+    N = len(q) - 1
+    nx = Q.shape[-1]
+    nc = C_.shape[1]
+    gains = [None] * (N + 1)
+    # terminal
+    kkt = np.zeros((R.shape[-1] + nc,) * 2)
+    nu = R.shape[-1]
+    kkt[:nu, :nu] = R[N]
+    kkt[:nu, nu:] = D[N].T
+    kkt[nu:, :nu] = D[N]
+    kkt[nu:, nu:] = -mueq * np.eye(nc)
+    rhs = np.concatenate([
+        np.concatenate([-r[N][:, None], -S[N].T], axis=1),
+        np.concatenate([-d[N][:, None], -C_[N]], axis=1),
+    ])
+    sol = np.linalg.solve(kkt, rhs)
+    kff, K = sol[:nu, 0], sol[:nu, 1:]
+    zff, Z = sol[nu:, 0], sol[nu:, 1:]
+    Vxx = Q[N] + S[N] @ K + C_[N].T @ Z
+    vx = q[N] + S[N] @ kff + C_[N].T @ zff
+    gains[N] = (kff, zff, K, Z, None, None, Vxx, vx)
+    for t in range(N - 1, -1, -1):
+        vplus = vx + Vxx @ f[t]
+        AtV = A[t].T @ Vxx
+        BtV = B[t].T @ Vxx
+        Qh = Q[t] + AtV @ A[t]
+        Rh = R[t] + BtV @ B[t]
+        Sh = S[t] + AtV @ B[t]
+        qh = q[t] + A[t].T @ vplus
+        rh = r[t] + B[t].T @ vplus
+        kkt[:nu, :nu] = Rh
+        kkt[:nu, nu:] = D[t].T
+        kkt[nu:, :nu] = D[t]
+        kkt[nu:, nu:] = -mueq * np.eye(nc)
+        rhs = np.concatenate([
+            np.concatenate([-rh[:, None], -Sh.T], axis=1),
+            np.concatenate([-d[t][:, None], -C_[t]], axis=1),
+        ])
+        sol = np.linalg.solve(kkt, rhs)
+        kff, K = sol[:nu, 0], sol[:nu, 1:]
+        zff, Z = sol[nu:, 0], sol[nu:, 1:]
+        yff = f[t] + B[t] @ kff
+        Acl = A[t] + B[t] @ K
+        Vxx = Qh + Sh @ K + C_[t].T @ Z
+        Vxx = 0.5 * (Vxx + Vxx.T)
+        vx = qh + Sh @ kff + C_[t].T @ zff
+        gains[t] = (kff, zff, K, Z, yff, Acl, Vxx, vx)
+    # forward
+    x = np.zeros(nx)
+    for t in range(N):
+        kff, zff, K, Z, yff, Acl, _, _ = gains[t]
+        _ = kff + K @ x
+        _ = zff + Z @ x
+        x = yff + Acl @ x
+    return x
+
+
+def bench_cpu_baseline():
+    rng = np.random.default_rng(0)
+    N = NSTEPS
+    nc = NU
+    Q = np.tile(0.01 * np.eye(NX), (N + 1, 1, 1))
+    R = np.tile(0.01 * np.eye(NU), (N + 1, 1, 1))
+    S = np.zeros((N + 1, NX, NU))
+    q = 0.01 * rng.standard_normal((N + 1, NX))
+    r = 0.01 * rng.standard_normal((N + 1, NU))
+    A = np.tile(np.eye(NX), (N + 1, 1, 1))
+    B = np.tile(rng.standard_normal((NX, NU)) / np.sqrt(NX), (N + 1, 1, 1))
+    f = 0.01 * rng.standard_normal((N + 1, NX))
+    C_ = np.zeros((N + 1, nc, NX))
+    D = np.tile(np.eye(nc, NU), (N + 1, 1, 1))
+    D[N] = 0.0
+    d = 0.01 * rng.standard_normal((N + 1, nc))
+
+    # warm-up
+    _np_riccati(Q, S, R, q, r, A, B, f, C_, D, d, 1e-2)
+    n_rep = 3
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        for _ in range(SOLVER_ITERS):  # 2 Riccati sweeps per solve
+            _np_riccati(Q, S, R, q, r, A, B, f, C_, D, d, 1e-2)
+    dt = (time.perf_counter() - t0) / n_rep
+    return 1.0 / dt
+
+
+def main():
+    tpu_rate, prim = bench_tpu()
+    cpu_rate = bench_cpu_baseline()
+    out = {
+        "metric": "mpc_lqr56_n100_solves_per_sec_chip",
+        "value": round(tpu_rate, 3),
+        "unit": "solves/s",
+        "vs_baseline": round(tpu_rate / cpu_rate, 3),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
