@@ -1,0 +1,72 @@
+"""SE(2) car parking end-to-end (reference bench/se2-car.cpp workload) —
+gates the manifold-aware solver path (SURVEY §7.1 step 6)."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+
+from se2_car import create_se2_problem  # noqa: E402
+from aligator_tpu.problem import evaluate  # noqa: E402
+from aligator_tpu.solvers import (  # noqa: E402
+    ProxDDPSettings,
+    proxddp_solve,
+    FDDPSettings,
+    fddp_solve,
+)
+
+
+def test_se2_car_proxddp_reference_weights():
+    # with the reference's weights the optimum barely moves (control energy
+    # outweighs the soft terminal cost) — gate on convergence + feasibility
+    problem = create_se2_problem(nsteps=40)
+    res = jax.jit(
+        lambda p: proxddp_solve(p, ProxDDPSettings(tol=1e-6, mu_init=1e-2, max_iters=100))
+    )(problem)
+    assert bool(res.conv), (
+        float(res.prim_infeas), float(res.dual_infeas), int(res.num_iters)
+    )
+    data = evaluate(problem, res.xs, res.us)
+    assert float(jnp.max(jnp.abs(data.dyn_defects))) < 1e-7
+
+
+def test_se2_car_parks_with_strong_terminal():
+    import jax.tree_util as jtu
+    from aligator_tpu import costs as C
+    from aligator_tpu import manifolds as M
+
+    problem = create_se2_problem(nsteps=40)
+    space = M.SE2()
+    strong_term = C.QuadraticStateCost(space, space.neutral(), 1e3 * jnp.eye(3))
+    problem = problem.replace(term_cost=strong_term)
+    res = jax.jit(
+        lambda p: proxddp_solve(p, ProxDDPSettings(tol=1e-6, mu_init=1e-2, max_iters=200))
+    )(problem)
+    assert bool(res.conv), (
+        float(res.prim_infeas), float(res.dual_infeas), int(res.num_iters)
+    )
+    pose = np.asarray(res.xs[-1])
+    assert np.linalg.norm(pose[:2]) < 0.02, pose
+    assert abs(pose[2] - 1.0) < 1e-3 and abs(pose[3]) < 0.03, pose
+
+
+def test_se2_car_fddp_matches_proxddp():
+    problem = create_se2_problem(nsteps=40)
+    res_p = jax.jit(
+        lambda p: proxddp_solve(p, ProxDDPSettings(tol=1e-6, mu_init=1e-3, max_iters=200))
+    )(problem)
+    res_f = jax.jit(lambda p: fddp_solve(p, FDDPSettings(tol=1e-8, max_iters=200)))(
+        problem
+    )
+    assert bool(res_p.conv) and bool(res_f.conv)
+    # both solvers find the same unconstrained optimum
+    np.testing.assert_allclose(
+        float(res_p.traj_cost), float(res_f.traj_cost), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_p.us), np.asarray(res_f.us), atol=1e-4
+    )
