@@ -1,0 +1,42 @@
+"""Multibody forward dynamics as ODEs on the phase space
+(reference: modelling/dynamics/multibody-free-fwd.hpp:22-88)."""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from aligator_tpu.dynamics.base import ODE
+from aligator_tpu.multibody.model import MultibodyModel
+from aligator_tpu.multibody.algorithms import fwd_dynamics
+
+
+class MultibodyFreeFwdDynamics(ODE):
+    """ẋ = (v, FD(q, v, B·u)) on the phase space TQ. ``actuation`` is the
+    (nv, nu) actuation matrix (defaults to identity on the actuated
+    coordinates — full actuation for fixed-base, underactuated free-flyer
+    if the first 6 rows are zero)."""
+
+    model: MultibodyModel
+    actuation: jax.Array  # (nv, nu)
+
+    def xdot(self, space, x, u):
+        nq = self.model.nq
+        q, v = x[..., :nq], x[..., nq:]
+        tau = (self.actuation @ u[..., None])[..., 0]
+        a = fwd_dynamics(self.model, q, v, tau)
+        return jnp.concatenate([v, a], axis=-1)
+
+
+def full_actuation(model: MultibodyModel, dtype=jnp.float64) -> jax.Array:
+    return jnp.eye(model.nv, dtype=dtype)
+
+
+def floating_base_actuation(model: MultibodyModel, dtype=jnp.float64) -> jax.Array:
+    """Zero torque on the 6 free-flyer coordinates, identity elsewhere."""
+    nv = model.nv
+    act = jnp.eye(nv, dtype=dtype)[:, 6:]
+    return act

@@ -1,0 +1,45 @@
+"""JAX rigid-body dynamics layer — the TPU-native stand-in for Pinocchio
+(the reference's multibody backend; SURVEY §2.4, §8.5)."""
+
+from aligator_tpu.multibody.spatial import (
+    SE3T,
+    se3_mul,
+    se3_inv,
+    se3_act_motion,
+    se3_act_inv_motion,
+    se3_act_force,
+    se3_adjoint,
+    Inertia,
+)
+from aligator_tpu.multibody.model import (
+    JointSpec,
+    FrameSpec,
+    MultibodyModel,
+    build_serial_chain,
+)
+from aligator_tpu.multibody.algorithms import (
+    forward_kinematics,
+    frame_placement,
+    frame_velocity,
+    frame_jacobian_local,
+    rnea,
+    nonlinear_effects,
+    gravity_torque,
+    mass_matrix,
+    fwd_dynamics,
+    com_position,
+)
+from aligator_tpu.multibody.spaces import (
+    MultibodyConfiguration,
+    MultibodyPhaseSpace,
+)
+
+__all__ = [
+    "SE3T", "se3_mul", "se3_inv", "se3_act_motion", "se3_act_inv_motion",
+    "se3_act_force", "se3_adjoint", "Inertia",
+    "JointSpec", "FrameSpec", "MultibodyModel", "build_serial_chain",
+    "forward_kinematics", "frame_placement", "frame_velocity",
+    "frame_jacobian_local", "rnea", "nonlinear_effects", "gravity_torque",
+    "mass_matrix", "fwd_dynamics", "com_position",
+    "MultibodyConfiguration", "MultibodyPhaseSpace",
+]

@@ -1,0 +1,218 @@
+"""Multibody model: kinematic tree of joints + body inertias + named frames.
+
+The TPU-native stand-in for the Pinocchio Model/Data pair the reference
+builds on (SURVEY §2.4, dynamics/multibody-free-fwd.hxx): the tree
+structure (joint types, parents, frame attachments) is static metadata;
+placements and inertias are pytree leaves (batchable, differentiable —
+e.g. for system identification, something the reference cannot do).
+
+Supported joints: revolute (about a fixed local axis), prismatic, and
+free-flyer (floating base, q = [p(3), quat(4)], local-frame velocity).
+Sweeps over the tree are unrolled Python loops over a static topology —
+the idiomatic XLA choice at nj ≤ ~40 (everything fuses; no dynamic
+control flow)."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from aligator_tpu.manifolds.lie import quat_exp, quat_to_mat
+from aligator_tpu.multibody.spatial import SE3T
+
+
+@dataclasses.dataclass(frozen=True)
+class JointSpec:
+    jtype: str  # "revolute" | "prismatic" | "freeflyer"
+    axis: Optional[Tuple[float, float, float]] = None
+
+    @property
+    def nq(self) -> int:
+        return {"revolute": 1, "prismatic": 1, "freeflyer": 7}[self.jtype]
+
+    @property
+    def nv(self) -> int:
+        return {"revolute": 1, "prismatic": 1, "freeflyer": 6}[self.jtype]
+
+
+@dataclasses.dataclass(frozen=True)
+class FrameSpec:
+    name: str
+    parent_joint: int
+
+
+class MultibodyModel(struct.PyTreeNode):
+    """Kinematic tree. Joint i's placement (jplace) is the fixed transform
+    from parent-joint frame to joint-i frame origin at q=0."""
+
+    # leaves
+    jplace_R: jax.Array  # (nj, 3, 3)
+    jplace_p: jax.Array  # (nj, 3)
+    mass: jax.Array  # (nj,)
+    com: jax.Array  # (nj, 3)       body CoM in joint frame
+    inertia: jax.Array  # (nj, 3, 3) rotational inertia about body CoM
+    frame_R: jax.Array  # (nf, 3, 3) frame placement in parent-joint frame
+    frame_p: jax.Array  # (nf, 3)
+    gravity: jax.Array  # (3,)
+    # static
+    joints: Tuple[JointSpec, ...] = struct.field(pytree_node=False)
+    parents: Tuple[int, ...] = struct.field(pytree_node=False)  # -1 = world
+    frames: Tuple[FrameSpec, ...] = struct.field(pytree_node=False)
+
+    # ------------------------------------------------------------------
+    @property
+    def njoints(self) -> int:
+        return len(self.joints)
+
+    @property
+    def nq(self) -> int:
+        return sum(j.nq for j in self.joints)
+
+    @property
+    def nv(self) -> int:
+        return sum(j.nv for j in self.joints)
+
+    @property
+    def q_offsets(self) -> Tuple[int, ...]:
+        out, o = [], 0
+        for j in self.joints:
+            out.append(o)
+            o += j.nq
+        return tuple(out)
+
+    @property
+    def v_offsets(self) -> Tuple[int, ...]:
+        out, o = [], 0
+        for j in self.joints:
+            out.append(o)
+            o += j.nv
+        return tuple(out)
+
+    def frame_id(self, name: str) -> int:
+        for i, f in enumerate(self.frames):
+            if f.name == name:
+                return i
+        raise KeyError(name)
+
+    def neutral_q(self, dtype=jnp.float64) -> jax.Array:
+        parts = []
+        for j in self.joints:
+            if j.jtype == "freeflyer":
+                parts.append(jnp.asarray([0, 0, 0, 0, 0, 0, 1], dtype))
+            else:
+                parts.append(jnp.zeros((1,), dtype))
+        return jnp.concatenate(parts)
+
+
+def joint_transform_and_subspace(spec: JointSpec, qj: jax.Array):
+    """(Xj: SE3T joint transform at qj, S: (6, nv) motion subspace in the
+    joint's local frame)."""
+    dt = qj.dtype
+    if spec.jtype == "revolute":
+        a = jnp.asarray(spec.axis, dt)
+        R = quat_to_mat(quat_exp(a * qj[0]))
+        X = SE3T(R, jnp.zeros(3, dt))
+        S = jnp.concatenate([jnp.zeros(3, dt), a])[:, None]
+    elif spec.jtype == "prismatic":
+        a = jnp.asarray(spec.axis, dt)
+        X = SE3T(jnp.eye(3, dt), a * qj[0])
+        S = jnp.concatenate([a, jnp.zeros(3, dt)])[:, None]
+    elif spec.jtype == "freeflyer":
+        p, quat = qj[:3], qj[3:]
+        X = SE3T(quat_to_mat(quat), p)
+        S = jnp.eye(6, dtype=dt)
+    else:  # pragma: no cover
+        raise ValueError(spec.jtype)
+    return X, S
+
+
+def joint_integrate(spec: JointSpec, qj: jax.Array, vj: jax.Array) -> jax.Array:
+    """Joint-level configuration integration (for the configuration
+    manifold)."""
+    if spec.jtype == "freeflyer":
+        from aligator_tpu.manifolds.lie import SE3
+
+        return SE3().integrate(
+            jnp.concatenate([qj[:3], qj[3:]]), vj
+        )
+    return qj + vj
+
+
+def joint_difference(spec: JointSpec, q0: jax.Array, q1: jax.Array) -> jax.Array:
+    if spec.jtype == "freeflyer":
+        from aligator_tpu.manifolds.lie import SE3
+
+        return SE3().difference(q0, q1)
+    return q1 - q0
+
+
+# ---------------------------------------------------------------------------
+# model builders (sample models for tests/examples — the analogue of
+# pin.buildSampleModel*, tests/python/utils.py:15-31)
+# ---------------------------------------------------------------------------
+
+
+def _box_inertia(m, lx, ly, lz):
+    return m / 12.0 * np.diag([ly**2 + lz**2, lx**2 + lz**2, lx**2 + ly**2])
+
+
+def build_serial_chain(
+    n_links: int = 6,
+    link_length: float = 0.3,
+    link_mass: float = 1.5,
+    axes: Optional[list] = None,
+    free_flyer: bool = False,
+    dtype=jnp.float64,
+) -> MultibodyModel:
+    """Generic serial manipulator: n revolute joints with alternating axes,
+    a tool frame at the tip (a UR5-class arm at n=6 — the rebuild's
+    ur5_reach stand-in; the reference loads URDFs via Pinocchio instead)."""
+    if axes is None:
+        axes = [(0, 0, 1), (0, 1, 0), (0, 1, 0), (0, 1, 0), (0, 0, 1), (0, 1, 0)]
+    joints: list[JointSpec] = []
+    parents: list[int] = []
+    jR, jp, mass, com, inert = [], [], [], [], []
+
+    start = 0
+    if free_flyer:
+        joints.append(JointSpec("freeflyer"))
+        parents.append(-1)
+        jR.append(np.eye(3))
+        jp.append(np.zeros(3))
+        mass.append(8.0)
+        com.append(np.zeros(3))
+        inert.append(_box_inertia(8.0, 0.3, 0.3, 0.3))
+        start = 1
+
+    for k in range(n_links):
+        joints.append(JointSpec("revolute", tuple(axes[k % len(axes)])))
+        parents.append(start + k - 1 if k > 0 else (0 if free_flyer else -1))
+        jR.append(np.eye(3))
+        jp.append(np.array([0.0, 0.0, link_length if k > 0 else 0.1]))
+        mass.append(link_mass)
+        com.append(np.array([0.0, 0.0, link_length / 2]))
+        inert.append(_box_inertia(link_mass, 0.05, 0.05, link_length))
+
+    frames = (FrameSpec("tool0", len(joints) - 1),)
+    f_R = np.eye(3)[None]
+    f_p = np.array([[0.0, 0.0, link_length]])
+
+    c = lambda a: jnp.asarray(np.asarray(a), dtype)
+    return MultibodyModel(
+        jplace_R=c(np.stack(jR)),
+        jplace_p=c(np.stack(jp)),
+        mass=c(np.asarray(mass)),
+        com=c(np.stack(com)),
+        inertia=c(np.stack(inert)),
+        frame_R=c(f_R),
+        frame_p=c(f_p),
+        gravity=c(np.array([0.0, 0.0, -9.81])),
+        joints=tuple(joints),
+        parents=tuple(parents),
+        frames=frames,
+    )
