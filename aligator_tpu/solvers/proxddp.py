@@ -35,6 +35,13 @@ import jax.numpy as jnp
 from flax import struct
 
 from aligator_tpu.gar.lqr_problem import LQRProblem
+from aligator_tpu.solvers.linesearch import (
+    LinesearchOptions,
+    FilterState,
+    armijo_run,
+    filter_init,
+    filter_run,
+)
 from aligator_tpu.gar import riccati as _riccati
 from aligator_tpu.gar.parallel import parallel_solve as _parallel_solve
 from aligator_tpu.problem import (
@@ -72,12 +79,21 @@ class ProxDDPSettings:
     reg_inc_k: float = 10.0
     reg_inc_first_k: float = 100.0
     reg_dec_k: float = 1.0 / 3.0
-    # linesearch (LinesearchOptions + NonmonotoneLinesearch)
+    # step acceptance (reference default LINESEARCH_NONMONOTONE,
+    # solver-proxddp.hpp:189-190; "armijo" adds safeguarded
+    # quadratic/cubic interpolation per linesearch-armijo.hpp, "filter"
+    # is the (merit, infeasibility) dominance filter of core/filter.hpp)
+    sa_strategy: str = "nonmonotone"  # "armijo" | "nonmonotone" | "filter"
+    ls_interp: str = "cubic"  # armijo interpolation: "bisection"|"quadratic"|"cubic"
+    ls_contraction_min: float = 0.5
+    ls_contraction_max: float = 0.8
     armijo_c1: float = 1e-4
     alpha_min: float = 1e-6
     ls_beta: float = 0.5
     ls_max_steps: int = 25
     ls_avg_eta: float = 0.85
+    filter_beta: float = 0.0  # filter margin (reference passes 0.0)
+    filter_capacity: int = 64
     dphi_thresh: float = 1e-13
     # misc
     mu_dyn_scale: float = 0.1  # mu_dyn() = 0.1 * mu (solver-proxddp.hpp:313)
@@ -153,6 +169,7 @@ class _State:
     merit: jax.Array
     ls_avg: jax.Array
     ls_w: jax.Array
+    filt: FilterState
 
 
 def _inf(a):
@@ -385,6 +402,7 @@ def solve(
         conv=jnp.asarray(False), failed=jnp.asarray(False),
         prim_infeas=zero, dual_infeas=zero, inner_crit=zero,
         traj_cost=zero, merit=zero, ls_avg=zero, ls_w=zero,
+        filt=filter_init(s.filter_capacity, dt),
     )
 
     # ------------------------------------------------------------------
@@ -461,7 +479,7 @@ def solve(
         dphi0 = jnp.sum(Lxs_p * dpt.xs) + jnp.sum(Lus_p * dpt.us)
         exit_dphi = jnp.abs(dphi0) <= s.dphi_thresh  # early stop (:644)
 
-        # nonmonotone (Zhang-Hager) linesearch -------------------------------
+        # step acceptance: interpolating Armijo / nonmonotone / filter ------
         phi0 = st.merit
         ls_avg = (s.ls_avg_eta * st.ls_w * st.ls_avg + phi0) / (
             s.ls_avg_eta * st.ls_w + 1.0
@@ -475,27 +493,35 @@ def solve(
             )
             return pt_try, data_t, mult_t, phi_t
 
-        pt1, data1, mult1, phi1 = ls_eval(jnp.asarray(1.0, dt))
-        ok1 = jnp.isfinite(phi1) & (phi1 <= ls_avg + s.armijo_c1 * 1.0 * dphi0)
-
-        def ls_cond(c):
-            alpha, done, cnt = c[0], c[1], c[2]
-            return (~done) & (cnt < s.ls_max_steps)
-
-        def ls_body(c):
-            alpha, done, cnt = c[0], c[1], c[2]
-            alpha_n = jnp.maximum(alpha * s.ls_beta, s.alpha_min)
-            pt_t, data_t, mult_t, phi_t = ls_eval(alpha_n)
-            ok = jnp.isfinite(phi_t) & (
-                phi_t <= ls_avg + s.armijo_c1 * alpha_n * dphi0
-            )
-            done_n = ok | (alpha_n <= s.alpha_min)
-            return (alpha_n, done_n, cnt + 1, pt_t, data_t, mult_t, phi_t)
-
-        alpha_f, _, _, pt_f, data_f, mult_f, phi_f = jax.lax.while_loop(
-            ls_cond, ls_body, (jnp.asarray(1.0, dt), ok1, jnp.asarray(0, jnp.int32),
-                               pt1, data1, mult1, phi1)
+        ls_opts = LinesearchOptions(
+            armijo_c1=s.armijo_c1,
+            alpha_min=s.alpha_min,
+            max_num_steps=s.ls_max_steps,
+            contraction_min=s.ls_contraction_min,
+            contraction_max=s.ls_contraction_max,
+            interp_type=("bisection" if s.sa_strategy == "nonmonotone"
+                         else s.ls_interp),
+            beta_dec=s.ls_beta,
         )
+        if s.sa_strategy == "filter":
+            def pair_eval(alpha):
+                pt_t, data_t, mult_t, phi_t = ls_eval(alpha)
+                return phi_t, mult_t.prim_infeas, (pt_t, data_t, mult_t)
+
+            alpha_f, phi_f, (pt_f, data_f, mult_f), filt_f = filter_run(
+                pair_eval, st.filt, ls_opts, beta=s.filter_beta
+            )
+        else:
+            phi_ref = ls_avg if s.sa_strategy == "nonmonotone" else phi0
+
+            def phi_eval(alpha):
+                pt_t, data_t, mult_t, phi_t = ls_eval(alpha)
+                return phi_t, (pt_t, data_t, mult_t)
+
+            alpha_f, phi_f, (pt_f, data_f, mult_f) = armijo_run(
+                phi_eval, phi0, dphi0, ls_opts, phi_ref=phi_ref
+            )
+            filt_f = st.filt
 
         # accept step
         hit_min = alpha_f <= s.alpha_min
@@ -515,6 +541,7 @@ def solve(
             preg_last=preg_next,
             ls_avg=ls_avg,
             ls_w=ls_w,
+            filt=filt_f,
             iters=st.iters + 1,
             failed=st.failed | fail_reg | ~jnp.isfinite(phi_f),
         )

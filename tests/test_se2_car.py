@@ -70,3 +70,21 @@ def test_se2_car_fddp_matches_proxddp():
     np.testing.assert_allclose(
         np.asarray(res_p.us), np.asarray(res_f.us), atol=1e-4
     )
+
+
+def test_se2_car_filter_strategy_tight_tol():
+    """The (merit, infeasibility) filter reaches tol=1e-8 where the
+    Armijo-type strategies plateau at the AL fixed-point accuracy set by
+    mu_init=1e-2 (the reference BCL likewise only shrinks mu on primal
+    failure, solver-proxddp.hxx:515-521 — smaller mu_init is the other
+    escape hatch, covered below)."""
+    problem = create_se2_problem(40)
+    st = ProxDDPSettings(tol=1e-8, mu_init=1e-2, max_iters=100, sa_strategy="filter")
+    res = jax.jit(lambda p: proxddp_solve(p, st))(problem)
+    assert bool(res.conv)
+    assert float(res.dual_infeas) <= 1e-8
+    assert float(res.prim_infeas) <= 1e-8
+
+    st2 = ProxDDPSettings(tol=1e-8, mu_init=1e-4, max_iters=100, sa_strategy="nonmonotone")
+    res2 = jax.jit(lambda p: proxddp_solve(p, st2))(problem)
+    assert bool(res2.conv)
