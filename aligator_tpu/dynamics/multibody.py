@@ -31,6 +31,30 @@ class MultibodyFreeFwdDynamics(ODE):
         return jnp.concatenate([v, a], axis=-1)
 
 
+class MultibodyConstraintFwdDynamics(ODE):
+    """Constrained (contact) forward dynamics ẋ = (v, FDc(q, v, B·u))
+    (reference: modelling/dynamics/multibody-constraint-fwd.hpp:17-92,
+    pinocchio::constraintDynamics). ``contacts`` is a
+    :class:`aligator_tpu.multibody.ContactSet`; its ``active`` flags are
+    pytree leaves, so per-stage contact phases stack over the horizon."""
+
+    model: MultibodyModel
+    actuation: jax.Array  # (nv, nu)
+    contacts: Any
+    prox_sigma: float = struct.field(pytree_node=False, default=1e-8)
+
+    def xdot(self, space, x, u):
+        from aligator_tpu.multibody.contact import constrained_dynamics
+
+        nq = self.model.nq
+        q, v = x[..., :nq], x[..., nq:]
+        tau = (self.actuation @ u[..., None])[..., 0]
+        a, _ = constrained_dynamics(
+            self.model, self.contacts, q, v, tau, self.prox_sigma
+        )
+        return jnp.concatenate([v, a], axis=-1)
+
+
 def full_actuation(model: MultibodyModel, dtype=jnp.float64) -> jax.Array:
     return jnp.eye(model.nv, dtype=dtype)
 

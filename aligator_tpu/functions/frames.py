@@ -19,22 +19,10 @@ from aligator_tpu.multibody.algorithms import (
     frame_velocity,
     com_position,
 )
-from aligator_tpu.multibody.spatial import SE3T, se3_mul, se3_inv
-from aligator_tpu.manifolds.lie import so3_left_jacobian_inv
+from aligator_tpu.multibody.spatial import SE3T, se3_mul, se3_inv, se3_log
 
-
-def se3t_log(X: SE3T) -> jax.Array:
-    """log6 of a placement in rotation-matrix form → (ρ, ω)."""
-    R, p = X.R, X.p
-    cos_th = jnp.clip((jnp.trace(R) - 1.0) / 2.0, -1.0, 1.0)
-    th = jnp.arccos(cos_th)
-    w_skew = 0.5 * (R - jnp.swapaxes(R, -1, -2))
-    w = jnp.stack([w_skew[..., 2, 1], w_skew[..., 0, 2], w_skew[..., 1, 0]], axis=-1)
-    sin_th = jnp.sin(th)
-    scale = jnp.where(th < 1e-7, 1.0 + th**2 / 6.0, th / jnp.where(th < 1e-7, 1.0, sin_th))
-    omega = w * scale[..., None]
-    rho = (so3_left_jacobian_inv(omega) @ p[..., None])[..., 0]
-    return jnp.concatenate([rho, omega], axis=-1)
+# log6 on (R, p) placements — NaN-safe AD at identity (spatial.se3_log)
+se3t_log = se3_log
 
 
 class FramePlacementResidual(UnaryFunction):

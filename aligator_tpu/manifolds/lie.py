@@ -114,8 +114,11 @@ def so3_left_jacobian(w):
     t2 = jnp.sum(w * w, axis=-1)
     t = _safe_sqrt(t2)
     small = t2 < _EPS2
-    c1 = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - jnp.cos(t)) / t2)
-    c2 = jnp.where(small, 1.0 / 6.0 - t2 / 120.0, (t - jnp.sin(t)) / (t2 * t))
+    # guard the DENOMINATORS too: jnp.where does not stop NaN/inf gradients
+    # flowing from the unselected branch (0·inf = NaN under AD)
+    t2s = jnp.where(small, 1.0, t2)
+    c1 = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - jnp.cos(t)) / t2s)
+    c2 = jnp.where(small, 1.0 / 6.0 - t2 / 120.0, (t - jnp.sin(t)) / (t2s * t))
     W = skew(w)
     eye = jnp.eye(3, dtype=w.dtype)
     return eye + c1[..., None, None] * W + c2[..., None, None] * (W @ W)
@@ -128,11 +131,9 @@ def so3_left_jacobian_inv(w):
     small = t2 < _EPS2
     sin_t = jnp.sin(t)
     denom = jnp.where(small, 1.0, 2.0 * t * sin_t)
-    c = jnp.where(
-        small,
-        1.0 / 12.0 + t2 / 720.0,
-        1.0 / jnp.where(small, 1.0, t2) - (1.0 + jnp.cos(t)) / denom,
-    )
+    t2s = jnp.where(small, 1.0, t2)
+    c = jnp.where(small, 1.0 / 12.0 + t2 / 720.0,
+                  1.0 / t2s - (1.0 + jnp.cos(t)) / denom)
     W = skew(w)
     eye = jnp.eye(3, dtype=w.dtype)
     return eye - 0.5 * W + c[..., None, None] * (W @ W)

@@ -9,6 +9,8 @@ from aligator_tpu.multibody.spatial import (
     se3_act_inv_motion,
     se3_act_force,
     se3_adjoint,
+    so3_log,
+    se3_log,
     Inertia,
 )
 from aligator_tpu.multibody.model import (
@@ -33,13 +35,24 @@ from aligator_tpu.multibody.spaces import (
     MultibodyConfiguration,
     MultibodyPhaseSpace,
 )
+from aligator_tpu.multibody.contact import (
+    ContactSpec,
+    ContactSet,
+    make_contact_set,
+    anchor_at_configuration,
+    constrained_dynamics,
+    contact_forces,
+    contact_slice,
+)
 
 __all__ = [
     "SE3T", "se3_mul", "se3_inv", "se3_act_motion", "se3_act_inv_motion",
-    "se3_act_force", "se3_adjoint", "Inertia",
+    "se3_act_force", "se3_adjoint", "so3_log", "se3_log", "Inertia",
     "JointSpec", "FrameSpec", "MultibodyModel", "build_serial_chain",
     "forward_kinematics", "frame_placement", "frame_velocity",
     "frame_jacobian_local", "rnea", "nonlinear_effects", "gravity_torque",
     "mass_matrix", "fwd_dynamics", "com_position",
     "MultibodyConfiguration", "MultibodyPhaseSpace",
+    "ContactSpec", "ContactSet", "make_contact_set", "anchor_at_configuration",
+    "constrained_dynamics", "contact_forces", "contact_slice",
 ]

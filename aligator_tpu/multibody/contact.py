@@ -1,0 +1,234 @@
+"""Constrained (contact) rigid-body dynamics.
+
+TPU-native replacement for the reference's Pinocchio-backed
+``MultibodyConstraintFwdDynamics`` (modelling/dynamics/
+multibody-constraint-fwd.hxx:31-67, which calls
+``pinocchio::constraintDynamics``): the proximal KKT system
+
+    [ M   Jᵀ ] [ a ]   [ τ − b(q, v) ]
+    [ J  −σI ] [−λ ] = [ −γ          ]
+
+is solved by a Schur complement on the (SPD) mass matrix —
+``(J M⁻¹ Jᵀ + σI) λ = −(γ + J M⁻¹ (τ − b))`` — where γ stacks each
+contact's acceleration drift J̇v (exact, via a JVP through the kinematic
+sweep) plus Baumgarte stabilization Kd·v_f + Kp·err (the reference
+configures Kp=100/Kd=50 for talos-walk, examples/talos-walk-utils.cpp:150-167).
+
+Contacts carry an ``active`` flag as a pytree LEAF: phase switches
+(double-support → single-support…) are data, not structure, so one jitted
+program covers a whole gait schedule — per-stage flags simply stack over
+the horizon (SURVEY §7.0 fixed-shapes principle). An inactive contact's
+Jacobian rows and drift are masked to zero, which makes its multiplier
+exactly 0 through the σ-regularized Schur system.
+
+Derivatives (the reference's computeConstraintDynamicsDerivatives) come
+from JAX AD through this whole function.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+from flax import struct
+
+from aligator_tpu.multibody.model import MultibodyModel
+from aligator_tpu.multibody.algorithms import (
+    mass_matrix,
+    rnea,
+    frame_placement,
+    frame_velocity,
+    frame_jacobian_local,
+)
+from aligator_tpu.multibody.spatial import SE3T, se3_mul, se3_inv
+
+
+@dataclasses.dataclass(frozen=True)
+class ContactSpec:
+    """Static part of a rigid contact (the analogue of
+    pinocchio::RigidConstraintModel's type/frame fields)."""
+
+    name: str
+    frame_id: int
+    dim: int = 6  # 3 (point) or 6 (surface/weld)
+
+
+class ContactSet(struct.PyTreeNode):
+    """A stack of rigid contacts. ``active``, anchors and Baumgarte gains
+    are leaves (stackable over the horizon, batchable); frame bindings are
+    static. All contacts use the LOCAL frame convention."""
+
+    anchor_R: jax.Array  # (nk, 3, 3) anchor placements in world
+    anchor_p: jax.Array  # (nk, 3)
+    active: jax.Array  # (nk,) 0/1
+    kp: jax.Array  # (nk,) Baumgarte position gain
+    kd: jax.Array  # (nk,) Baumgarte velocity gain
+    specs: Tuple[ContactSpec, ...] = struct.field(pytree_node=False)
+
+    @property
+    def nc(self) -> int:
+        return sum(s.dim for s in self.specs)
+
+    def replace_active(self, flags) -> "ContactSet":
+        return self.replace(active=jnp.asarray(flags, self.active.dtype))
+
+
+def make_contact_set(
+    model: MultibodyModel,
+    contacts: Tuple[Tuple[str, int], ...],
+    kp: float = 100.0,
+    kd: float = 50.0,
+    anchors_R=None,
+    anchors_p=None,
+    dtype=jnp.float64,
+) -> ContactSet:
+    """``contacts`` is a tuple of (frame_name, dim). Anchors default to
+    identity placements (set them from a reference configuration with
+    :func:`anchor_at_configuration`)."""
+    specs = tuple(
+        ContactSpec(name=n, frame_id=model.frame_id(n), dim=d) for n, d in contacts
+    )
+    nk = len(specs)
+    return ContactSet(
+        anchor_R=(jnp.broadcast_to(jnp.eye(3, dtype=dtype), (nk, 3, 3))
+                  if anchors_R is None else jnp.asarray(anchors_R, dtype)),
+        anchor_p=(jnp.zeros((nk, 3), dtype)
+                  if anchors_p is None else jnp.asarray(anchors_p, dtype)),
+        active=jnp.ones((nk,), dtype),
+        kp=jnp.full((nk,), kp, dtype),
+        kd=jnp.full((nk,), kd, dtype),
+        specs=specs,
+    )
+
+
+def anchor_at_configuration(
+    model: MultibodyModel, contacts: ContactSet, q: jax.Array
+) -> ContactSet:
+    """Re-anchor every contact at its frame placement in configuration q
+    (the usual way contact references are set for a stance phase)."""
+    Rs, ps = [], []
+    for s in contacts.specs:
+        M = frame_placement(model, q, s.frame_id)
+        Rs.append(M.R)
+        ps.append(M.p)
+    return contacts.replace(anchor_R=jnp.stack(Rs), anchor_p=jnp.stack(ps))
+
+
+def _so3_log(R: jax.Array) -> jax.Array:
+    from aligator_tpu.multibody.spatial import so3_log
+
+    return so3_log(R)
+
+
+def _contact_err_local(model, spec: ContactSpec, cs: ContactSet, k: int, q):
+    """Placement error of contact k in the contact LOCAL frame.
+    6D: (ρ, ω) of log-ish error vs the anchor; 3D: R_fᵀ (p_f − p_anchor)."""
+    M = frame_placement(model, q, spec.frame_id)
+    if spec.dim == 3:
+        return (M.R.T @ (M.p - cs.anchor_p[k])[..., None])[..., 0]
+    rel_R = cs.anchor_R[k].T @ M.R
+    rel_p = (M.R.T @ (M.p - cs.anchor_p[k])[..., None])[..., 0]
+    return jnp.concatenate([rel_p, _so3_log(rel_R)])
+
+
+def _contact_rows(model: MultibodyModel, cs: ContactSet, q, v):
+    """Stacked (J, v_c, drift, err) over contacts, LOCAL frame, masked by
+    the active flags. J: (nc, nv)."""
+    nv = model.nv
+    dt = q.dtype
+    Js, vcs, drifts, errs, kps, kds, acts = [], [], [], [], [], [], []
+    for k, spec in enumerate(cs.specs):
+        J6 = frame_jacobian_local(model, q, spec.frame_id)  # (6, nv)
+        v6 = frame_velocity(model, q, v, spec.frame_id, local=True)
+
+        # acceleration drift J̇v: local-coordinate derivative of v_f along
+        # the configuration flow q̇ = v with zero joint acceleration
+        def vf_along_flow(t):
+            from aligator_tpu.multibody.spaces import integrate_configuration
+
+            q_t = integrate_configuration(model, q, t * v)
+            return frame_velocity(model, q_t, v, spec.frame_id, local=True)
+
+        drift6 = jax.jvp(vf_along_flow, (jnp.zeros((), dt),), (jnp.ones((), dt),))[1]
+        err = _contact_err_local(model, spec, cs, k, q)
+
+        sl = slice(0, spec.dim) if spec.dim == 3 else slice(0, 6)
+        Js.append(J6[sl])
+        vcs.append(v6[sl])
+        drifts.append(drift6[sl])
+        errs.append(err)
+        kps.append(jnp.full((spec.dim,), 1.0, dt) * cs.kp[k])
+        kds.append(jnp.full((spec.dim,), 1.0, dt) * cs.kd[k])
+        acts.append(jnp.full((spec.dim,), 1.0, dt) * cs.active[k])
+
+    J = jnp.concatenate(Js, axis=0)
+    vc = jnp.concatenate(vcs)
+    drift = jnp.concatenate(drifts)
+    err = jnp.concatenate(errs)
+    kp = jnp.concatenate(kps)
+    kd = jnp.concatenate(kds)
+    act = jnp.concatenate(acts)
+
+    gamma = drift + kd * vc + kp * err  # desired: J a + gamma = 0
+    return act[:, None] * J, act * gamma
+
+
+def constrained_dynamics(
+    model: MultibodyModel,
+    contacts: ContactSet,
+    q: jax.Array,
+    v: jax.Array,
+    tau: jax.Array,
+    prox_sigma: float = 1e-8,
+):
+    """Proximal constrained forward dynamics → (a, λ).
+
+    λ (shape (nc,)) stacks each contact's constraint force in its LOCAL
+    frame (the reference's ``pin_data.lambda_c`` layout, used by the
+    contact-force / cone residuals)."""
+    M = mass_matrix(model, q)
+    b = rnea(model, q, v, jnp.zeros_like(v))
+    chol = jnp.linalg.cholesky(M)
+    free = jsl.cho_solve((chol, True), tau - b)  # M⁻¹(τ − b)
+
+    if contacts.nc == 0:
+        return free, jnp.zeros((0,), q.dtype)
+
+    J, gamma = _contact_rows(model, contacts, q, v)
+    MinvJt = jsl.cho_solve((chol, True), J.T)  # (nv, nc)
+    G = J @ MinvJt + prox_sigma * jnp.eye(contacts.nc, dtype=q.dtype)
+    rhs = -(gamma + J @ free)
+    lam = jnp.linalg.solve(G, rhs)
+    a = free + MinvJt @ lam
+    return a, lam
+
+
+def contact_forces(
+    model: MultibodyModel,
+    contacts: ContactSet,
+    actuation: jax.Array,
+    x: jax.Array,
+    u: jax.Array,
+    prox_sigma: float = 1e-8,
+) -> jax.Array:
+    """λ(x, u) for residuals (the reference re-runs constraintDynamics
+    inside ContactForceResidual::evaluate, contact-force.hxx:11-26; under
+    jit XLA shares the computation with the dynamics pass)."""
+    nq = model.nq
+    q, v = x[..., :nq], x[..., nq:]
+    tau = (actuation @ u[..., None])[..., 0]
+    _, lam = constrained_dynamics(model, contacts, q, v, tau, prox_sigma)
+    return lam
+
+
+def contact_slice(contacts: ContactSet, name: str) -> slice:
+    """Row slice of contact ``name`` inside the stacked λ vector."""
+    off = 0
+    for s in contacts.specs:
+        if s.name == name:
+            return slice(off, off + s.dim)
+        off += s.dim
+    raise KeyError(name)

@@ -114,3 +114,9 @@ def MultibodyPhaseSpace(model: MultibodyModel):
     from aligator_tpu.manifolds.tangent import TangentBundle
 
     return TangentBundle(MultibodyConfiguration(model))
+
+
+def integrate_configuration(model: MultibodyModel, q, dq):
+    """q ⊕ dq on the configuration manifold (free function used by the
+    contact layer's drift JVP)."""
+    return MultibodyConfiguration(model).integrate(q, dq)

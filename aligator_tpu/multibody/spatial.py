@@ -144,6 +144,40 @@ def inertia_transform(inertia_mat: jax.Array, X: SE3T) -> jax.Array:
     return jnp.swapaxes(Ad_inv, -1, -2) @ inertia_mat @ Ad_inv
 
 
+def so3_log(R: jax.Array) -> jax.Array:
+    """Rotation-matrix logarithm ω = log3(R) with NaN-safe AD at the
+    identity: the θ/sin θ scale is expressed through cos θ with
+    double-``where`` guards so gradients stay finite at θ = 0 (arccos has
+    an infinite derivative at 1, which would otherwise poison AD through
+    frame residuals and contact placement errors). Valid for θ < π − ε
+    (contact/task errors never approach π)."""
+    cos_th = jnp.clip((jnp.trace(R) - 1.0) / 2.0, -1.0, 1.0)
+    w_skew = 0.5 * (R - jnp.swapaxes(R, -1, -2))  # = sin θ · [axis]×
+    w = jnp.stack(
+        [w_skew[..., 2, 1], w_skew[..., 0, 2], w_skew[..., 1, 0]], axis=-1
+    )
+    near0 = cos_th > 1.0 - 1e-8
+    cos_safe = jnp.where(near0, 0.0, cos_th)
+    th = jnp.arccos(cos_safe)
+    sin_safe = jnp.where(near0, 1.0, jnp.sin(th))
+    # θ/sin θ = 1 + θ²/6 + 7θ⁴/360 + …, with θ² ≈ 2(1 − cos θ)
+    one_m_c = 1.0 - cos_th
+    scale = jnp.where(
+        near0,
+        1.0 + one_m_c / 3.0 + 7.0 * one_m_c * one_m_c / 90.0,
+        th / sin_safe,
+    )
+    return w * scale[..., None]
+
+
+def se3_log(X: SE3T) -> jax.Array:
+    """log6 of a placement → (ρ, ω) (pinocchio log6 on (R, p) form;
+    reference usage: frame-placement.hxx:9-32). NaN-safe AD at identity."""
+    omega = so3_log(X.R)
+    rho = (so3_left_jacobian_inv(omega) @ X.p[..., None])[..., 0]
+    return jnp.concatenate([rho, omega], axis=-1)
+
+
 def se3_adjoint(X: SE3T) -> jax.Array:
     """6×6 motion transform (Ad_X) mapping local motions to target-frame
     motions, (lin, ang) ordering: [[R, [p]× R], [0, R]]."""
