@@ -8,6 +8,8 @@ replacing Pinocchio's analytical frame Jacobians (Jlog6 · J_frame)."""
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax
 import jax.numpy as jnp
 from flax import struct
@@ -91,6 +93,109 @@ class CenterOfMassTranslationResidual(UnaryFunction):
     def value_x(self, x):
         q = x[..., : self.model.nq]
         return com_position(self.model, q) - self.ref
+
+
+class CenterOfMassVelocityResidual(UnaryFunction):
+    """r = d(com)/dt − v_ref = J_com(q)·v − v_ref
+    (center-of-mass-velocity.hpp). Exact via JVP along the configuration
+    flow."""
+
+    model: MultibodyModel
+    ref: jax.Array  # (3,)
+
+    def value_x(self, x):
+        from aligator_tpu.multibody.algorithms import com_position
+        from aligator_tpu.multibody.spaces import integrate_configuration
+
+        nq = self.model.nq
+        q, v = x[..., :nq], x[..., nq:]
+        dt = q.dtype
+        vcom = jax.jvp(
+            lambda t: com_position(
+                self.model, integrate_configuration(self.model, q, t * v)
+            ),
+            (jnp.zeros((), dt),), (jnp.ones((), dt),),
+        )[1]
+        return vcom - self.ref
+
+
+class DCMPositionResidual(UnaryFunction):
+    """Divergent component of motion ξ = c + ċ/ω vs a reference
+    (multibody/dcm-position.hpp; ω² = g/z_c)."""
+
+    model: MultibodyModel
+    ref: jax.Array  # (3,)
+    omega: jax.Array  # () DCM natural frequency
+
+    def value_x(self, x):
+        from aligator_tpu.multibody.algorithms import com_position
+        from aligator_tpu.multibody.spaces import integrate_configuration
+
+        nq = self.model.nq
+        q, v = x[..., :nq], x[..., nq:]
+        dt = q.dtype
+        c = com_position(self.model, q)
+        cdot = jax.jvp(
+            lambda t: com_position(
+                self.model, integrate_configuration(self.model, q, t * v)
+            ),
+            (jnp.zeros((), dt),), (jnp.ones((), dt),),
+        )[1]
+        return c + cdot / self.omega - self.ref
+
+
+class CentroidalMomentumResidual(UnaryFunction):
+    """r = h(q, v) − h_ref ∈ R⁶ (multibody/centroidal-momentum.hxx:
+    Ag·v − h_ref via ccrba)."""
+
+    model: MultibodyModel
+    ref: jax.Array  # (6,)
+
+    def value_x(self, x):
+        from aligator_tpu.multibody.algorithms import centroidal_momentum
+
+        nq = self.model.nq
+        h, _ = centroidal_momentum(self.model, x[..., :nq], x[..., nq:])
+        return h - self.ref
+
+
+class CentroidalMomentumDerivativeResidual(StageFunction):
+    """r = ḣ_ext(q, u) = m·g + Σ_active contact wrenches about the CoM
+    (centroidal-momentum-derivative.hxx:11-45; used with force controls in
+    kinodynamic formulations)."""
+
+    model: MultibodyModel
+    active: jax.Array  # (nk,)
+    frame_ids: Any = struct.field(pytree_node=False)
+    force_size: int = struct.field(pytree_node=False, default=3)
+
+    def value(self, x, u):
+        from aligator_tpu.multibody.algorithms import (
+            com_position,
+            forward_kinematics,
+        )
+
+        model = self.model
+        nq = model.nq
+        q = x[..., :nq]
+        nk, fs = len(self.frame_ids), self.force_size
+        com = com_position(model, q)
+        oM = forward_kinematics(model, q)
+        g = model.gravity.astype(q.dtype)
+        lin = jnp.sum(model.mass) * g
+        ang = jnp.zeros(3, q.dtype)
+        F = u[..., : nk * fs].reshape(nk, fs)
+        for i, fid in enumerate(self.frame_ids):
+            fr = model.frames[fid]
+            M = se3_mul(
+                oM[fr.parent_joint], SE3T(model.frame_R[fid], model.frame_p[fid])
+            )
+            fi = self.active[i] * F[i, :3]
+            lin = lin + fi
+            ang = ang + jnp.cross(M.p - com, fi)
+            if fs == 6:
+                ang = ang + self.active[i] * F[i, 3:]
+        return jnp.concatenate([lin, ang])
 
 
 class GravityCompensationResidual(StageFunction):

@@ -139,15 +139,28 @@ def gravity_torque(model: MultibodyModel, q: jax.Array):
     return rnea(model, q, z, z)
 
 
+def mass_matrix_and_bias(model: MultibodyModel, q: jax.Array, v: jax.Array):
+    """(M(q), b(q, v)) from ONE batched RNEA sweep: rows are
+    [(0, 0), (v, 0), (0, e₁) … (0, e_nv)] → gravity bias, nonlinear
+    effects, and unit-acceleration mass-matrix columns. Keeping a single
+    vmapped RNEA instance in the graph is both the fast TPU layout (one
+    batched sweep) and the cheap-to-compile one."""
+    nv = model.nv
+    z = jnp.zeros((nv,), q.dtype)
+    eye = jnp.eye(nv, dtype=q.dtype)
+    vs = jnp.concatenate([z[None], v[None], jnp.zeros((nv, nv), q.dtype)], axis=0)
+    accs = jnp.concatenate([z[None], z[None], eye], axis=0)
+    out = jax.vmap(lambda vv, aa: rnea(model, q, vv, aa))(vs, accs)
+    gbias, b, cols = out[0], out[1], out[2:]
+    M = (cols - gbias).T
+    return 0.5 * (M + M.T), b
+
+
 def mass_matrix(model: MultibodyModel, q: jax.Array) -> jax.Array:
     """M(q) from unit-acceleration RNEA columns, vmapped (one batched
     sweep — MXU/VPU friendly, exact)."""
-    nv = model.nv
-    z = jnp.zeros((nv,), q.dtype)
-    bias = rnea(model, q, z, z)
-    cols = jax.vmap(lambda e: rnea(model, q, z, e) - bias)(jnp.eye(nv, dtype=q.dtype))
-    M = cols.T
-    return 0.5 * (M + M.T)
+    M, _ = mass_matrix_and_bias(model, q, jnp.zeros((model.nv,), q.dtype))
+    return M
 
 
 def fwd_dynamics(
@@ -159,10 +172,47 @@ def fwd_dynamics(
 ) -> jax.Array:
     """Forward dynamics a = M(q)⁻¹ (τ − b(q, v)) via Cholesky — the TPU
     replacement for pin::aba (multibody-free-fwd.hxx:37-72)."""
-    M = mass_matrix(model, q)
-    b = rnea(model, q, v, jnp.zeros_like(v), f_ext=f_ext)
+    if f_ext is None:
+        M, b = mass_matrix_and_bias(model, q, v)
+    else:
+        M = mass_matrix(model, q)
+        b = rnea(model, q, v, jnp.zeros_like(v), f_ext=f_ext)
     chol = jnp.linalg.cholesky(M)
     return jsl.cho_solve((chol, True), tau - b)
+
+
+def centroidal_momentum(model: MultibodyModel, q: jax.Array, v: jax.Array):
+    """Centroidal momentum h = (h_lin, h_ang) about the CoM in
+    world-aligned axes (the TPU replacement for pinocchio::ccrba's
+    Ag·v; the momentum matrix Ag itself is ∂h/∂v via jacfwd and Ȧg·v is a
+    JVP along the configuration flow). Returns (h, com)."""
+    from aligator_tpu.multibody.spatial import se3_act_force
+
+    nj = model.njoints
+    Ms, Ss = _local_transforms(model, q)
+    oM: list = [None] * nj
+    vels: list = [None] * nj
+    for i in range(nj):
+        p = model.parents[i]
+        vJ = Ss[i] @ _joint_v(model, v, i)
+        if p < 0:
+            oM[i] = Ms[i]
+            vels[i] = vJ
+        else:
+            oM[i] = se3_mul(oM[p], Ms[i])
+            vels[i] = se3_act_inv_motion(Ms[i], vels[p]) + vJ
+
+    h_o = jnp.zeros(6, q.dtype)
+    weighted = jnp.zeros(3, q.dtype)
+    for i in range(nj):
+        I_mat = Inertia(model.mass[i], model.com[i], model.inertia[i]).matrix()
+        h_o = h_o + se3_act_force(oM[i], inertia_mul(I_mat, vels[i]))
+        ci = oM[i].p + (oM[i].R @ model.com[i][..., None])[..., 0]
+        weighted = weighted + model.mass[i] * ci
+    com = weighted / jnp.sum(model.mass)
+    h_lin = h_o[:3]
+    h_ang = h_o[3:] - jnp.cross(com, h_lin)
+    return jnp.concatenate([h_lin, h_ang]), com
 
 
 def com_position(model: MultibodyModel, q: jax.Array) -> jax.Array:

@@ -43,7 +43,12 @@ from aligator_tpu.multibody.algorithms import (
     frame_velocity,
     frame_jacobian_local,
 )
-from aligator_tpu.multibody.spatial import SE3T, se3_mul, se3_inv
+from aligator_tpu.multibody.spatial import (
+    SE3T,
+    se3_mul,
+    se3_inv,
+    se3_act_inv_motion,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -134,31 +139,68 @@ def _contact_err_local(model, spec: ContactSpec, cs: ContactSet, k: int, q):
     return jnp.concatenate([rel_p, _so3_log(rel_R)])
 
 
+def _all_frame_velocities(model: MultibodyModel, fids, q, v) -> jax.Array:
+    """(nk, 6) LOCAL spatial velocities of several frames from ONE tree
+    sweep (compile-time optimization: the naive per-contact
+    frame_velocity/jacobian calls re-trace the whole kinematic sweep per
+    contact; fusing keeps the jitted graph small)."""
+    from aligator_tpu.multibody.algorithms import _local_transforms, _joint_v
+
+    nj = model.njoints
+    Ms, Ss = _local_transforms(model, q)
+    vels: list = [None] * nj
+    for i in range(nj):
+        p = model.parents[i]
+        vJ = Ss[i] @ _joint_v(model, v, i)
+        vels[i] = vJ if p < 0 else se3_act_inv_motion(Ms[i], vels[p]) + vJ
+    out = []
+    for fid in fids:
+        f = model.frames[fid]
+        iMf = SE3T(model.frame_R[fid], model.frame_p[fid])
+        out.append(se3_act_inv_motion(iMf, vels[f.parent_joint]))
+    return jnp.stack(out)
+
+
 def _contact_rows(model: MultibodyModel, cs: ContactSet, q, v):
-    """Stacked (J, v_c, drift, err) over contacts, LOCAL frame, masked by
-    the active flags. J: (nc, nv)."""
-    nv = model.nv
+    """Stacked (J, γ) over contacts, LOCAL frame, masked by the active
+    flags. J: (nc, nv). One kinematic sweep each for values, Jacobians
+    (jacfwd) and drift (JVP along the configuration flow) — shared by all
+    contacts."""
+    from aligator_tpu.multibody.algorithms import forward_kinematics
+    from aligator_tpu.multibody.spaces import integrate_configuration
+
     dt = q.dtype
+    fids = [s.frame_id for s in cs.specs]
+
+    vc6 = _all_frame_velocities(model, fids, q, v)  # (nk, 6)
+    J6 = jax.jacfwd(lambda vv: _all_frame_velocities(model, fids, q, vv))(v)
+    # acceleration drift J̇v: local-coordinate derivative of v_f along the
+    # configuration flow q̇ = v with zero joint acceleration
+    drift6 = jax.jvp(
+        lambda t: _all_frame_velocities(
+            model, fids, integrate_configuration(model, q, t * v), v
+        ),
+        (jnp.zeros((), dt),), (jnp.ones((), dt),),
+    )[1]
+
+    # placements for the Baumgarte position errors (one sweep)
+    oM = forward_kinematics(model, q)
+
     Js, vcs, drifts, errs, kps, kds, acts = [], [], [], [], [], [], []
     for k, spec in enumerate(cs.specs):
-        J6 = frame_jacobian_local(model, q, spec.frame_id)  # (6, nv)
-        v6 = frame_velocity(model, q, v, spec.frame_id, local=True)
-
-        # acceleration drift J̇v: local-coordinate derivative of v_f along
-        # the configuration flow q̇ = v with zero joint acceleration
-        def vf_along_flow(t):
-            from aligator_tpu.multibody.spaces import integrate_configuration
-
-            q_t = integrate_configuration(model, q, t * v)
-            return frame_velocity(model, q_t, v, spec.frame_id, local=True)
-
-        drift6 = jax.jvp(vf_along_flow, (jnp.zeros((), dt),), (jnp.ones((), dt),))[1]
-        err = _contact_err_local(model, spec, cs, k, q)
-
-        sl = slice(0, spec.dim) if spec.dim == 3 else slice(0, 6)
-        Js.append(J6[sl])
-        vcs.append(v6[sl])
-        drifts.append(drift6[sl])
+        f = model.frames[spec.frame_id]
+        M = se3_mul(oM[f.parent_joint],
+                    SE3T(model.frame_R[spec.frame_id], model.frame_p[spec.frame_id]))
+        if spec.dim == 3:
+            err = (M.R.T @ (M.p - cs.anchor_p[k])[..., None])[..., 0]
+        else:
+            rel_R = cs.anchor_R[k].T @ M.R
+            rel_p = (M.R.T @ (M.p - cs.anchor_p[k])[..., None])[..., 0]
+            err = jnp.concatenate([rel_p, _so3_log(rel_R)])
+        sl = slice(0, spec.dim)
+        Js.append(J6[k, sl])
+        vcs.append(vc6[k, sl])
+        drifts.append(drift6[k, sl])
         errs.append(err)
         kps.append(jnp.full((spec.dim,), 1.0, dt) * cs.kp[k])
         kds.append(jnp.full((spec.dim,), 1.0, dt) * cs.kd[k])
@@ -189,8 +231,9 @@ def constrained_dynamics(
     λ (shape (nc,)) stacks each contact's constraint force in its LOCAL
     frame (the reference's ``pin_data.lambda_c`` layout, used by the
     contact-force / cone residuals)."""
-    M = mass_matrix(model, q)
-    b = rnea(model, q, v, jnp.zeros_like(v))
+    from aligator_tpu.multibody.algorithms import mass_matrix_and_bias
+
+    M, b = mass_matrix_and_bias(model, q, v)
     chol = jnp.linalg.cholesky(M)
     free = jsl.cho_solve((chol, True), tau - b)  # M⁻¹(τ − b)
 

@@ -216,3 +216,116 @@ def build_serial_chain(
         parents=tuple(parents),
         frames=frames,
     )
+
+
+def build_humanoid(dtype=jnp.float64) -> MultibodyModel:
+    """Talos-dimension humanoid sample model: free-flyer + 22 actuated
+    joints — legs 2×6, torso 2, arms 2×4 ⇒ nq=29, nv=28, nu=22, matching
+    the reference's reduced Talos (examples/talos-walk-utils.cpp:11-57,
+    SURVEY §8.4); joint ORDER matches too (left leg, right leg, torso,
+    left arm, right arm) so the w_x weight layout transfers. The reference
+    loads the URDF through Pinocchio; this is the self-contained JAX
+    stand-in (dims/masses are Talos-like, not identical).
+
+    Frames: ``left_sole`` / ``right_sole`` under the ankle-roll joints,
+    ``torso`` on the chest."""
+
+    joints: list[JointSpec] = []
+    parents: list[int] = []
+    jR, jp, mass, com, inert = [], [], [], [], []
+
+    def add(jtype, axis, parent, p, m, c_off, half_dims):
+        joints.append(JointSpec(jtype, axis))
+        parents.append(parent)
+        jR.append(np.eye(3))
+        jp.append(np.asarray(p, float))
+        mass.append(m)
+        com.append(np.asarray(c_off, float))
+        inert.append(_box_inertia(m, *[2 * h for h in half_dims]))
+        return len(joints) - 1
+
+    Z, X, Y = (0, 0, 1), (1, 0, 0), (0, 1, 0)
+    thigh, shin, ankle_h = 0.38, 0.38, 0.107
+
+    pelvis = add("freeflyer", None, -1, (0, 0, 0), 14.0, (0, 0, 0.05),
+                 (0.12, 0.15, 0.1))
+
+    def add_leg(side):
+        s = 1.0 if side == "left" else -1.0
+        hip_yaw = add("revolute", Z, pelvis, (0.0, s * 0.085, -0.1),
+                      1.0, (0, 0, 0), (0.04, 0.04, 0.04))
+        hip_roll = add("revolute", X, hip_yaw, (0, 0, 0),
+                       1.5, (0, 0, 0), (0.05, 0.05, 0.05))
+        hip_pitch = add("revolute", Y, hip_roll, (0, 0, 0),
+                        6.0, (0, 0, -thigh / 2), (0.07, 0.07, thigh / 2))
+        knee = add("revolute", Y, hip_pitch, (0, 0, -thigh),
+                   4.0, (0, 0, -shin / 2), (0.06, 0.06, shin / 2))
+        ankle_pitch = add("revolute", Y, knee, (0, 0, -shin),
+                          0.8, (0, 0, 0), (0.04, 0.04, 0.04))
+        ankle_roll = add("revolute", X, ankle_pitch, (0, 0, 0),
+                         1.2, (0.02, 0, -ankle_h / 2), (0.1, 0.06, ankle_h / 2))
+        return ankle_roll
+
+    la = add_leg("left")
+    ra = add_leg("right")
+
+    torso_1 = add("revolute", Z, pelvis, (0, 0, 0.15),
+                  2.0, (0, 0, 0.1), (0.1, 0.1, 0.1))
+    torso_2 = add("revolute", Y, torso_1, (0, 0, 0.05),
+                  17.0, (0, 0, 0.15), (0.15, 0.2, 0.25))
+
+    def add_arm(side):
+        s = 1.0 if side == "left" else -1.0
+        sh_pitch = add("revolute", Y, torso_2, (0.0, s * 0.25, 0.25),
+                       1.5, (0, 0, 0), (0.05, 0.05, 0.05))
+        sh_roll = add("revolute", X, sh_pitch, (0, 0, 0),
+                      1.5, (0, 0, -0.12), (0.05, 0.05, 0.12))
+        sh_yaw = add("revolute", Z, sh_roll, (0, 0, -0.24),
+                     1.0, (0, 0, -0.06), (0.04, 0.04, 0.08))
+        elbow = add("revolute", Y, sh_yaw, (0, 0, -0.12),
+                    1.3, (0, 0, -0.12), (0.04, 0.04, 0.12))
+        return elbow
+
+    add_arm("left")
+    add_arm("right")
+
+    frames = (
+        FrameSpec("left_sole", la),
+        FrameSpec("right_sole", ra),
+        FrameSpec("torso", torso_2),
+    )
+    f_R = np.stack([np.eye(3)] * 3)
+    f_p = np.array([[0.0, 0.0, -ankle_h], [0.0, 0.0, -ankle_h], [0.0, 0.0, 0.3]])
+
+    c = lambda a: jnp.asarray(np.asarray(a), dtype)
+    return MultibodyModel(
+        jplace_R=c(np.stack(jR)),
+        jplace_p=c(np.stack(jp)),
+        mass=c(np.asarray(mass)),
+        com=c(np.stack(com)),
+        inertia=c(np.stack(inert)),
+        frame_R=c(f_R),
+        frame_p=c(f_p),
+        gravity=c(np.array([0.0, 0.0, -9.81])),
+        joints=tuple(joints),
+        parents=tuple(parents),
+        frames=frames,
+    )
+
+
+def humanoid_half_sitting(model: MultibodyModel, dtype=jnp.float64) -> jax.Array:
+    """Half-sitting posture (bent knees, soles flat) — the analogue of the
+    Talos SRDF reference configuration: free-flyer at standing height,
+    hip_pitch −0.4 / knee 0.8 / ankle_pitch −0.4 per leg."""
+    q = np.zeros(model.nq)
+    thigh, shin, ankle_h = 0.38, 0.38, 0.107
+    # standing height of the pelvis with the bent leg
+    leg_drop = thigh * np.cos(0.4) + shin * np.cos(0.4) + ankle_h
+    q[2] = 0.1 + leg_drop  # hip-yaw offset (-0.1) puts hips 0.1 below root
+    q[6] = 1.0  # quaternion w
+    # per leg: [hip_yaw, hip_roll, hip_pitch, knee, ankle_pitch, ankle_roll]
+    for off in (7, 13):  # left / right leg q offsets
+        q[off + 2] = -0.4
+        q[off + 3] = 0.8
+        q[off + 4] = -0.4
+    return jnp.asarray(q, dtype)
