@@ -95,6 +95,9 @@ class ProxDDPSettings:
     filter_beta: float = 0.0  # filter margin (reference passes 0.0)
     filter_capacity: int = 64
     dphi_thresh: float = 1e-13
+    # observability (reference Logger + HistoryCallback, SURVEY §5.5)
+    verbose: bool = False  # stream the iteration table via jax.debug.callback
+    record_history: bool = False  # per-iter scalars in results.history
     # misc
     mu_dyn_scale: float = 0.1  # mu_dyn() = 0.1 * mu (solver-proxddp.hpp:313)
     riccati_refine: int = 1
@@ -146,6 +149,9 @@ class ProxDDPResults:
     num_iters: jax.Array  # int
     al_iter: jax.Array  # int
     mu_final: jax.Array
+    # (max_iters, 7) per-iteration [alpha, inner_crit, prim, dual, merit,
+    # mu, preg] when record_history (HistoryCallback analog); (0, 7) else
+    history: jax.Array
 
 
 @struct.dataclass
@@ -170,6 +176,7 @@ class _State:
     ls_avg: jax.Array
     ls_w: jax.Array
     filt: FilterState
+    hist: jax.Array
 
 
 def _inf(a):
@@ -341,13 +348,16 @@ def _build_lq(
 
 
 def _solve_lq(s: ProxDDPSettings, lq: LQRProblem, mu):
-    if s.lq_num_legs and s.lq_num_legs > 1:
-        return _parallel_solve(
-            lq, mu, s.lq_num_legs, mesh=s.lq_mesh, axis_name=s.lq_axis_name,
-            refine_steps=s.riccati_refine,
-        )
-    factors = _riccati.backward(lq, mu, refine_steps=s.riccati_refine)
-    return _riccati.forward(lq, factors)
+    # named scopes = the reference's Tracy zones (SURVEY §5.1): they label
+    # these phases in jax.profiler / XProf traces
+    with jax.named_scope("proxddp.riccati"):
+        if s.lq_num_legs and s.lq_num_legs > 1:
+            return _parallel_solve(
+                lq, mu, s.lq_num_legs, mesh=s.lq_mesh, axis_name=s.lq_axis_name,
+                refine_steps=s.riccati_refine,
+            )
+        factors = _riccati.backward(lq, mu, refine_steps=s.riccati_refine)
+        return _riccati.forward(lq, factors)
 
 
 # ---------------------------------------------------------------------------
@@ -403,13 +413,17 @@ def solve(
         prim_infeas=zero, dual_infeas=zero, inner_crit=zero,
         traj_cost=zero, merit=zero, ls_avg=zero, ls_w=zero,
         filt=filter_init(s.filter_capacity, dt),
+        hist=jnp.zeros((s.max_iters if s.record_history else 0, 7), dt),
     )
 
     # ------------------------------------------------------------------
     def eval_point(pt: Point, prev_vs, prev_vs_term, mu):
-        data = _evaluate(problem, pt.xs, pt.us)
-        mult = _compute_multipliers(problem, s, data, pt, prev_vs, prev_vs_term, mu)
-        phi = _merit(s, data, mult, mu)
+        with jax.named_scope("proxddp.evaluate"):
+            data = _evaluate(problem, pt.xs, pt.us)
+            mult = _compute_multipliers(
+                problem, s, data, pt, prev_vs, prev_vs_term, mu
+            )
+            phi = _merit(s, data, mult, mu)
         return data, mult, phi
 
     def try_step(pt: Point, dpt: Point, alpha):
@@ -430,7 +444,8 @@ def solve(
         Returns (state, data, mult, exit_inner). The step is skipped (no-op
         branch of lax.cond) when the subproblem criterion already passes —
         mirroring the reference's early return at :598-601."""
-        derivs = _compute_derivatives(problem, st.pt.xs, st.pt.us)
+        with jax.named_scope("proxddp.derivatives"):
+            derivs = _compute_derivatives(problem, st.pt.xs, st.pt.us)
 
         # criterion at current multipliers
         Lxs_c, Lus_c = _lagrangian_derivs(
@@ -532,6 +547,20 @@ def solve(
         )
         fail_reg = hit_min & (preg >= s.reg_max)
 
+        if s.verbose:
+            from aligator_tpu.utils.logger import print_row
+
+            jax.debug.callback(
+                print_row, st.iters, alpha_f, inner_crit, mult_f.prim_infeas,
+                dual_infeas, preg, dphi0, phi_f, phi_f - phi0, st.al_iter,
+                st.mu, ordered=True,
+            )
+        hist = st.hist
+        if s.record_history:
+            row = jnp.stack([alpha_f, inner_crit, mult_f.prim_infeas,
+                             dual_infeas, phi_f, st.mu, preg])
+            hist = hist.at[st.iters].set(row)
+
         st = st.replace(
             pt=pt_f,
             traj_cost=data_f.traj_cost,
@@ -542,6 +571,7 @@ def solve(
             ls_avg=ls_avg,
             ls_w=ls_w,
             filt=filt_f,
+            hist=hist,
             iters=st.iters + 1,
             failed=st.failed | fail_reg | ~jnp.isfinite(phi_f),
         )
@@ -634,4 +664,5 @@ def solve(
         prim_infeas=st.prim_infeas, dual_infeas=st.dual_infeas,
         traj_cost=st.traj_cost, merit_value=st.merit,
         num_iters=st.iters, al_iter=st.al_iter, mu_final=st.mu,
+        history=st.hist,
     )
