@@ -182,6 +182,46 @@ class RelaxedLogBarrierCost(Cost):
         return jnp.sum(jnp.where(r < d, below, above))
 
 
+class DirectSumCost(Cost):
+    """ℓ₁(x₁, u₁) + ℓ₂(x₂, u₂) on a CartesianProduct state, slicing the
+    control at ``nu1`` (modelling/costs/cost-direct-sum.hpp)."""
+
+    c1: Any
+    c2: Any
+    nu1: int = struct.field(pytree_node=False, default=0)
+
+    def _split(self, space, x, u):
+        s1, s2 = space.components
+        return (s1, x[..., : s1.nx], u[..., : self.nu1],
+                s2, x[..., s1.nx :], u[..., self.nu1 :])
+
+    def value(self, space, x, u):
+        s1, x1, u1, s2, x2, u2 = self._split(space, x, u)
+        return self.c1.value(s1, x1, u1) + self.c2.value(s2, x2, u2)
+
+    def gradients(self, space, x, u):
+        s1, x1, u1, s2, x2, u2 = self._split(space, x, u)
+        g1x, g1u = self.c1.gradients(s1, x1, u1)
+        g2x, g2u = self.c2.gradients(s2, x2, u2)
+        return (jnp.concatenate([g1x, g2x], axis=-1),
+                jnp.concatenate([g1u, g2u], axis=-1))
+
+    def hessians(self, space, x, u):
+        s1, x1, u1, s2, x2, u2 = self._split(space, x, u)
+        H1 = self.c1.hessians(s1, x1, u1)
+        H2 = self.c2.hessians(s2, x2, u2)
+        blk = lambda a, b: jsl_block_diag(a, b)
+        return blk(H1[0], H2[0]), blk(H1[1], H2[1]), blk(H1[2], H2[2])
+
+
+def jsl_block_diag(a, b):
+    n1, m1 = a.shape[-2], a.shape[-1]
+    n2, m2 = b.shape[-2], b.shape[-1]
+    top = jnp.concatenate([a, jnp.zeros((n1, m2), a.dtype)], axis=-1)
+    bot = jnp.concatenate([jnp.zeros((n2, m1), b.dtype), b], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
 class CostStack(Cost):
     """Weighted sum of costs (modelling/costs/sum-of-costs.hpp). Components
     are a static-length tuple; weights are leaves."""

@@ -8,6 +8,13 @@ from aligator_tpu.dynamics.integrators import (
     RK2Integrator,
     RK4Integrator,
 )
+from aligator_tpu.dynamics.implicit import (
+    ImplicitDynamics,
+    MidpointIntegrator,
+    MidpointIntegratorExplicit,
+    ImplicitToExplicit,
+    newton_raphson,
+)
 
 __all__ = [
     "ExplicitDynamics",
@@ -18,4 +25,9 @@ __all__ = [
     "SemiImplEulerIntegrator",
     "RK2Integrator",
     "RK4Integrator",
+    "ImplicitDynamics",
+    "MidpointIntegrator",
+    "MidpointIntegratorExplicit",
+    "ImplicitToExplicit",
+    "newton_raphson",
 ]

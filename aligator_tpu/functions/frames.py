@@ -84,6 +84,42 @@ class FrameEqualityResidual(UnaryFunction):
         return se3t_log(se3_mul(se3_inv(Ma), Mb))
 
 
+class FlyHighResidual(UnaryFunction):
+    """r = e^{−z_f·slope} · v_xy^LWA(frame) ∈ R² — the swing-foot
+    slip/height penalty for locomotion (multibody/fly-high.hxx:
+    LOCAL_WORLD_ALIGNED linear velocity scaled by frame height)."""
+
+    model: MultibodyModel
+    slope: jax.Array
+    frame_id: int = struct.field(pytree_node=False)
+
+    def value_x(self, x):
+        nq = self.model.nq
+        q, v = x[..., :nq], x[..., nq:]
+        M = frame_placement(self.model, q, self.frame_id)
+        v_loc = frame_velocity(self.model, q, v, self.frame_id, local=True)
+        v_lwa = (M.R @ v_loc[:3][..., None])[..., 0]  # world-aligned linear
+        ez = jnp.exp(-M.p[..., 2] * self.slope)
+        return v_lwa[..., :2] * ez
+
+
+class FrameCollisionResidual(UnaryFunction):
+    """r = signed distance between two attached collision primitives
+    (multibody/frame-collision.hxx — coal distance query; here the
+    closed-form sphere/capsule pairs of
+    :mod:`aligator_tpu.multibody.geometry`)."""
+
+    model: MultibodyModel
+    geom1: Any = struct.field(pytree_node=False)
+    geom2: Any = struct.field(pytree_node=False)
+
+    def value_x(self, x):
+        from aligator_tpu.multibody.geometry import pair_distance
+
+        q = x[..., : self.model.nq]
+        return pair_distance(self.model, q, self.geom1, self.geom2)[None]
+
+
 class CenterOfMassTranslationResidual(UnaryFunction):
     """r = com(q) − c_ref (center-of-mass-translation.hpp)."""
 

@@ -267,6 +267,25 @@ def contact_forces(
     return lam
 
 
+def underactuated_constrained_inverse_dynamics(
+    model: MultibodyModel,
+    contacts: ContactSet,
+    actuation: jax.Array,
+    q: jax.Array,
+    v: jax.Array,
+):
+    """Static torques + contact forces balancing the nonlinear effects:
+    solve [B, −Jᵀ]·[u; λ] = nle(q, v) in least squares (reference
+    multibody/constrained-rnea.hpp underactuatedConstrainedInverseDynamics,
+    which uses a ColPivHouseholderQR). Returns (u, λ)."""
+    b = rnea(model, q, v, jnp.zeros_like(v))
+    J, _ = _contact_rows(model, contacts, q, v)
+    W = jnp.concatenate([actuation, -J.T], axis=1)
+    sol = jnp.linalg.lstsq(W, b)[0]
+    nu = actuation.shape[1]
+    return sol[:nu], sol[nu:]
+
+
 def contact_slice(contacts: ContactSet, name: str) -> slice:
     """Row slice of contact ``name`` inside the stacked λ vector."""
     off = 0

@@ -72,6 +72,12 @@ class ProxDDPSettings:
     dual_beta: float = 1.0
     mu_update_factor: float = 0.01
     mu_lower_bound: float = 1e-8
+    # multiplier update on BCL success (reference MultiplierUpdateMode,
+    # solver-proxddp.hxx:495-507): "newton" keeps the Newton-solved vs;
+    # "primal" uses the AL estimates vs_plus; "primal_dual" uses the PDAL
+    # estimate 2·vs_plus − vs (the reference's vs_pdal buffer is
+    # initialized but never recomputed — we implement the paper formula)
+    multiplier_update_mode: str = "newton"  # "newton"|"primal"|"primal_dual"
     # regularization ladder (IPOPT-style)
     reg_min: float = 1e-10
     reg_max: float = 1e9
@@ -95,6 +101,12 @@ class ProxDDPSettings:
     filter_beta: float = 0.0  # filter margin (reference passes 0.0)
     filter_capacity: int = 64
     dphi_thresh: float = 1e-13
+    # forward pass (reference RolloutType, solver-proxddp.hpp): "linear"
+    # steps x ⊕ α·dx; "nonlinear" re-rolls the dynamics closed-loop with
+    # the Riccati gains (tryNonlinearRollout, solver-proxddp.hxx:324-416).
+    # Nonlinear requires the serial LQ solver (as in the reference, where
+    # the parallel solver is restricted to linear rollouts).
+    rollout_type: str = "linear"  # "linear" | "nonlinear"
     # observability (reference Logger + HistoryCallback, SURVEY §5.5)
     verbose: bool = False  # stream the iteration table via jax.debug.callback
     record_history: bool = False  # per-iter scalars in results.history
@@ -348,16 +360,22 @@ def _build_lq(
 
 
 def _solve_lq(s: ProxDDPSettings, lq: LQRProblem, mu):
-    # named scopes = the reference's Tracy zones (SURVEY §5.1): they label
-    # these phases in jax.profiler / XProf traces
+    """→ ((dxs, dus, dvs, dlams), gains-or-None). Named scopes = the
+    reference's Tracy zones (SURVEY §5.1): they label these phases in
+    jax.profiler / XProf traces."""
     with jax.named_scope("proxddp.riccati"):
         if s.lq_num_legs and s.lq_num_legs > 1:
+            if s.rollout_type == "nonlinear":
+                raise ValueError(
+                    "nonlinear rollout requires the serial LQ solver "
+                    "(reference restriction, solver-proxddp.hxx:179-182)"
+                )
             return _parallel_solve(
                 lq, mu, s.lq_num_legs, mesh=s.lq_mesh, axis_name=s.lq_axis_name,
                 refine_steps=s.riccati_refine,
-            )
+            ), None
         factors = _riccati.backward(lq, mu, refine_steps=s.riccati_refine)
-        return _riccati.forward(lq, factors)
+        return _riccati.forward(lq, factors), factors.gains
 
 
 # ---------------------------------------------------------------------------
@@ -438,6 +456,32 @@ def solve(
             lams=pt.lams + alpha * dpt.lams,
         )
 
+    def try_step_nonlinear(pt: Point, dpt: Point, gains, alpha):
+        """tryNonlinearRollout (solver-proxddp.hxx:324-416): closed-loop
+        re-rollout of the dynamics with the Riccati gains, dx measured
+        against the current iterate; λ stepped linearly."""
+        space = problem.space
+        lams = pt.lams + alpha * dpt.lams
+        x0_try = pt.xs[0]  # force_initial_condition: dxs[0] = 0
+
+        def body(x_t, inp):
+            x_ref, u_ref, v_ref, kff, K, zff, Z, dyn = inp
+            dx = space.difference(x_ref, x_t)
+            u_t = u_ref + alpha * kff + K @ dx
+            v_t = v_ref + alpha * zff + Z @ dx
+            x_next = dyn.forward(space, x_t, u_t)
+            return x_next, (x_t, u_t, v_t)
+
+        inp = (pt.xs[:N], pt.us, pt.vs,
+               gains.kff[:N], gains.K[:N],
+               gains.zff[:N, :nc], gains.Z[:N, :nc],
+               problem.dynamics)
+        xN, (xs_body, us, vs) = jax.lax.scan(body, x0_try, inp)
+        xs = jnp.concatenate([xs_body, xN[None]], axis=0)
+        dxN = space.difference(pt.xs[N], xN)
+        vs_term = pt.vs_term + alpha * gains.zff[N, :nct] + gains.Z[N, :nct] @ dxN
+        return Point(xs=xs, us=us, vs=vs, vs_term=vs_term, lams=lams)
+
     # ------------------------------------------------------------------
     def inner_iteration(st: _State, data, mult):
         """One Newton iteration (body of innerLoop's for, :577-699).
@@ -477,7 +521,7 @@ def solve(
             jnp.maximum(s.reg_min, st.preg_last * s.reg_dec_k),
         )
         lq = _build_lq(problem, data, derivs, mult, Lxs_c, Lus_c, st.mu, preg)
-        dxs, dus_full, dvs_full, dlams = _solve_lq(s, lq, st.mu)
+        (dxs, dus_full, dvs_full, dlams), gains = _solve_lq(s, lq, st.mu)
         dxs = dxs.at[0].set(0.0)
         dlams = dlams.at[0].set(0.0)
         dpt = Point(
@@ -502,7 +546,10 @@ def solve(
         ls_w = s.ls_avg_eta * st.ls_w + 1.0
 
         def ls_eval(alpha):
-            pt_try = try_step(st.pt, dpt, alpha)
+            if s.rollout_type == "nonlinear":
+                pt_try = try_step_nonlinear(st.pt, dpt, gains, alpha)
+            else:
+                pt_try = try_step(st.pt, dpt, alpha)
             data_t, mult_t, phi_t = eval_point(
                 pt_try, st.prev_vs, st.prev_vs_term, st.mu
             )
@@ -618,6 +665,16 @@ def solve(
         # reset linesearch moving average each AL cycle (linesearch_.reset())
         st = st.replace(ls_avg=zero, ls_w=zero)
 
+        if s.multiplier_update_mode == "newton":
+            new_prev_vs, new_prev_vs_term = None, None  # use pt.vs below
+        elif s.multiplier_update_mode == "primal":
+            new_prev_vs, new_prev_vs_term = mult.vs_plus, mult.vs_plus_term
+        elif s.multiplier_update_mode == "primal_dual":
+            new_prev_vs = 2.0 * mult.vs_plus - st.pt.vs
+            new_prev_vs_term = 2.0 * mult.vs_plus_term - st.pt.vs_term
+        else:  # pragma: no cover
+            raise ValueError(s.multiplier_update_mode)
+
         def on_success(st: _State):
             # do { updateTolsOnSuccess() } while (inner_crit < inner_tol)
             arg = jnp.minimum(st.mu, 0.99)
@@ -631,11 +688,11 @@ def solve(
             prim_tol, inner_tol = jax.lax.while_loop(
                 tcond, tbody, tbody((st.prim_tol, st.inner_tol))
             )
-            # NEWTON multiplier update mode (default): prev_vs ← vs
             conv = (st.dual_infeas <= target_dual) & (st.prim_infeas <= target_tol)
             return st.replace(
-                prev_vs=st.pt.vs,
-                prev_vs_term=st.pt.vs_term,
+                prev_vs=st.pt.vs if new_prev_vs is None else new_prev_vs,
+                prev_vs_term=(st.pt.vs_term if new_prev_vs_term is None
+                              else new_prev_vs_term),
                 prim_tol=prim_tol,
                 inner_tol=inner_tol,
                 conv=st.conv | conv,

@@ -88,3 +88,29 @@ def test_se2_car_filter_strategy_tight_tol():
     st2 = ProxDDPSettings(tol=1e-8, mu_init=1e-4, max_iters=100, sa_strategy="nonmonotone")
     res2 = jax.jit(lambda p: proxddp_solve(p, st2))(problem)
     assert bool(res2.conv)
+
+
+def test_se2_car_nonlinear_rollout_and_multiplier_modes():
+    """RolloutType::NONLINEAR (closed-loop gains re-rollout,
+    solver-proxddp.hxx:324-416) and the PRIMAL / PRIMAL_DUAL multiplier
+    update modes must all solve the car-parking problem to the same
+    optimum as the default linear/Newton path."""
+    problem = create_se2_problem(40)
+    base = ProxDDPSettings(tol=1e-6, mu_init=1e-4, max_iters=100)
+    res0 = jax.jit(lambda p: proxddp_solve(p, base))(problem)
+    assert bool(res0.conv)
+
+    for kw in (dict(rollout_type="nonlinear"),
+               dict(multiplier_update_mode="primal"),
+               dict(multiplier_update_mode="primal_dual")):
+        st = ProxDDPSettings(tol=1e-6, mu_init=1e-4, max_iters=100, **kw)
+        res = jax.jit(lambda p: proxddp_solve(p, st))(problem)
+        assert bool(res.conv), kw
+        np.testing.assert_allclose(
+            float(res.traj_cost), float(res0.traj_cost), rtol=1e-5, err_msg=str(kw)
+        )
+        # nonlinear rollout keeps the trajectory dynamically feasible
+        if kw.get("rollout_type") == "nonlinear":
+            from aligator_tpu.problem import evaluate as _eval
+            d = _eval(problem, res.xs, res.us)
+            assert float(jnp.max(jnp.abs(d.dyn_defects))) < 1e-10
