@@ -113,6 +113,12 @@ class ProxDDPSettings:
     # misc
     mu_dyn_scale: float = 0.1  # mu_dyn() = 0.1 * mu (solver-proxddp.hpp:313)
     riccati_refine: int = 1
+    # LQ solver choice (reference LQSolverChoice: LQ_SOLVER_SERIAL /
+    # PARALLEL / STAGEDENSE). "parallel" additionally needs lq_num_legs>1
+    # (and optionally a mesh for sharded legs); "stagedense" solves the
+    # monolithic dense KKT (gar/dense.py — the reference's
+    # RiccatiSolverDense analogue, useful for debugging conditioning).
+    lq_solver: str = "serial"  # "serial" | "parallel" | "stagedense"
     # parallel (partitioned-condensing) LQ solver: number of legs; 0 = serial
     lq_num_legs: int = 0
     lq_mesh: Any = None
@@ -364,16 +370,23 @@ def _solve_lq(s: ProxDDPSettings, lq: LQRProblem, mu):
     reference's Tracy zones (SURVEY §5.1): they label these phases in
     jax.profiler / XProf traces."""
     with jax.named_scope("proxddp.riccati"):
-        if s.lq_num_legs and s.lq_num_legs > 1:
-            if s.rollout_type == "nonlinear":
-                raise ValueError(
-                    "nonlinear rollout requires the serial LQ solver "
-                    "(reference restriction, solver-proxddp.hxx:179-182)"
-                )
+        parallel = s.lq_solver == "parallel" or (
+            s.lq_solver == "serial" and s.lq_num_legs and s.lq_num_legs > 1
+        )
+        if (parallel or s.lq_solver == "stagedense") and s.rollout_type == "nonlinear":
+            raise ValueError(
+                "nonlinear rollout requires the serial LQ solver "
+                "(reference restriction, solver-proxddp.hxx:179-182)"
+            )
+        if parallel:
             return _parallel_solve(
-                lq, mu, s.lq_num_legs, mesh=s.lq_mesh, axis_name=s.lq_axis_name,
-                refine_steps=s.riccati_refine,
+                lq, mu, max(s.lq_num_legs, 2), mesh=s.lq_mesh,
+                axis_name=s.lq_axis_name, refine_steps=s.riccati_refine,
             ), None
+        if s.lq_solver == "stagedense":
+            from aligator_tpu.gar.dense import dense_solve
+
+            return dense_solve(lq, mu), None
         factors = _riccati.backward(lq, mu, refine_steps=s.riccati_refine)
         return _riccati.forward(lq, factors), factors.gains
 
