@@ -23,6 +23,7 @@ from aligator_tpu.gar.parallel import (
     make_parallel_solver,
 )
 from aligator_tpu.gar.dense import dense_solve
+from aligator_tpu.gar.assoc import solve as assoc_solve
 
 __all__ = [
     "LQRProblem",
@@ -37,4 +38,5 @@ __all__ = [
     "parallel_solve",
     "make_parallel_solver",
     "dense_solve",
+    "assoc_solve",
 ]

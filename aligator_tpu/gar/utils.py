@@ -15,6 +15,60 @@ import jax.numpy as jnp
 from aligator_tpu.gar.lqr_problem import LQRProblem
 
 
+def lqr_kkt_residuals(
+    problem: LQRProblem,
+    xs: jax.Array,
+    us: jax.Array,
+    vs: jax.Array,
+    lbdas: jax.Array,
+    mueq=0.0,
+) -> LQRProblem:
+    """KKT residual VECTORS of a candidate solution, packaged as an
+    ``LQRProblem`` whose rhs fields (q, r, d, f, g0) hold the residual
+    components and whose matrix fields are the original ones.
+
+    Because the LQ KKT system is linear, solving this residual problem
+    with any LQ solver yields the iterative-refinement correction δ with
+    K·δ = −res (the reference applies the same pattern to its condensed
+    system, gar/parallel-solver.hxx:184-202):  new = old + δ.
+    """
+    N = problem.horizon
+    p = problem
+    dyn0 = p.g0 + p.G0 @ xs[0]
+    dyn = (
+        jnp.einsum("tij,tj->ti", p.A[:N], xs[:N])
+        + jnp.einsum("tij,tj->ti", p.B[:N], us[:N])
+        + p.f[:N]
+        - xs[1:]
+    )
+    cstr = (
+        jnp.einsum("tij,tj->ti", p.C, xs)
+        + jnp.einsum("tij,tj->ti", p.D, us)
+        + p.d
+        - mueq * vs
+    )
+    gx = (
+        p.q
+        + jnp.einsum("tij,tj->ti", p.Q, xs)
+        + jnp.einsum("tij,tj->ti", p.S, us)
+        + jnp.einsum("tji,tj->ti", p.C, vs)
+    )
+    gu = (
+        p.r
+        + jnp.einsum("tji,tj->ti", p.S, xs)
+        + jnp.einsum("tij,tj->ti", p.R, us)
+        + jnp.einsum("tji,tj->ti", p.D, vs)
+    )
+    gx = gx.at[:N].add(jnp.einsum("tji,tj->ti", p.A[:N], lbdas[1:]))
+    gu = gu.at[:N].add(jnp.einsum("tji,tj->ti", p.B[:N], lbdas[1:]))
+    gx = gx.at[0].add(p.G0.T @ lbdas[0][: p.nc0])
+    gx = gx.at[1:].add(-lbdas[1:])
+    f_res = jnp.concatenate(
+        [dyn, jnp.zeros((1, p.nx), p.dtype)], axis=0
+    )
+    return p.replace(q=gx, r=gu, d=cstr, f=f_res, g0=dyn0)
+
+
 def lqr_kkt_error(
     problem: LQRProblem,
     xs: jax.Array,  # (N+1, nx)

@@ -117,8 +117,10 @@ class ProxDDPSettings:
     # PARALLEL / STAGEDENSE). "parallel" additionally needs lq_num_legs>1
     # (and optionally a mesh for sharded legs); "stagedense" solves the
     # monolithic dense KKT (gar/dense.py — the reference's
-    # RiccatiSolverDense analogue, useful for debugging conditioning).
-    lq_solver: str = "serial"  # "serial" | "parallel" | "stagedense"
+    # RiccatiSolverDense analogue, useful for debugging conditioning);
+    # "assoc" is the log-depth associative-scan Riccati (gar/assoc.py — no
+    # reference analogue; best single-instance latency on long horizons).
+    lq_solver: str = "serial"  # "serial" | "parallel" | "stagedense" | "assoc"
     # parallel (partitioned-condensing) LQ solver: number of legs; 0 = serial
     lq_num_legs: int = 0
     lq_mesh: Any = None
@@ -373,7 +375,9 @@ def _solve_lq(s: ProxDDPSettings, lq: LQRProblem, mu):
         parallel = s.lq_solver == "parallel" or (
             s.lq_solver == "serial" and s.lq_num_legs and s.lq_num_legs > 1
         )
-        if (parallel or s.lq_solver == "stagedense") and s.rollout_type == "nonlinear":
+        if (
+            parallel or s.lq_solver in ("stagedense", "assoc")
+        ) and s.rollout_type == "nonlinear":
             raise ValueError(
                 "nonlinear rollout requires the serial LQ solver "
                 "(reference restriction, solver-proxddp.hxx:179-182)"
@@ -387,6 +391,13 @@ def _solve_lq(s: ProxDDPSettings, lq: LQRProblem, mu):
             from aligator_tpu.gar.dense import dense_solve
 
             return dense_solve(lq, mu), None
+        if s.lq_solver == "assoc":
+            from aligator_tpu.gar import assoc as _assoc
+
+            xs, us, vs, lbds, factors = _assoc.solve(
+                lq, mu, refine_steps=s.riccati_refine
+            )
+            return (xs, us, vs, lbds), factors.gains
         factors = _riccati.backward(lq, mu, refine_steps=s.riccati_refine)
         return _riccati.forward(lq, factors), factors.gains
 

@@ -132,3 +132,28 @@ def test_proxddp_vmap_batch_of_x0():
     res = solve_batch(x0s)
     assert bool(jnp.all(res.conv))
     assert res.xs.shape == (4, NSTEPS + 1, NX)
+
+
+def test_proxddp_assoc_lq_solver():
+    """The log-depth associative-scan LQ backend (gar/assoc.py) drops into
+    ProxDDP and reaches the same solution as the serial Riccati backend."""
+    space, x0, dyn, rcost, tcost, mats = _lqr_setup()
+    umax = 0.18
+    ctrl_res = ControlErrorResidual(target=jnp.zeros(NU))
+    box = S.BoxConstraint(lower=(-umax,) * NU, upper=(umax,) * NU)
+    problem = build_problem(
+        space, NU, NSTEPS, x0, dyn, rcost, tcost,
+        constraints=((ctrl_res, box, NU),),
+    )
+    kw = dict(tol=1e-7, mu_init=2e-3, max_iters=80)
+    res_s = jax.jit(
+        lambda p: proxddp_solve(p, ProxDDPSettings(**kw))
+    )(problem)
+    res_a = jax.jit(
+        lambda p: proxddp_solve(p, ProxDDPSettings(lq_solver="assoc", **kw))
+    )(problem)
+    assert bool(res_a.conv), (
+        float(res_a.prim_infeas), float(res_a.dual_infeas), int(res_a.num_iters)
+    )
+    np.testing.assert_allclose(np.asarray(res_a.xs), np.asarray(res_s.xs), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res_a.us), np.asarray(res_s.us), atol=1e-6)
