@@ -29,6 +29,7 @@ from aligator_tpu.multibody.algorithms import (
     gravity_torque,
     mass_matrix,
     fwd_dynamics,
+    aba,
     com_position,
 )
 from aligator_tpu.multibody.spaces import (
@@ -51,7 +52,7 @@ __all__ = [
     "JointSpec", "FrameSpec", "MultibodyModel", "build_serial_chain",
     "forward_kinematics", "frame_placement", "frame_velocity",
     "frame_jacobian_local", "rnea", "nonlinear_effects", "gravity_torque",
-    "mass_matrix", "fwd_dynamics", "com_position",
+    "mass_matrix", "fwd_dynamics", "aba", "com_position",
     "MultibodyConfiguration", "MultibodyPhaseSpace",
     "ContactSpec", "ContactSet", "make_contact_set", "anchor_at_configuration",
     "constrained_dynamics", "contact_forces", "contact_slice",

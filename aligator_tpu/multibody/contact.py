@@ -28,6 +28,7 @@ from JAX AD through this whole function.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -218,6 +219,141 @@ def _contact_rows(model: MultibodyModel, cs: ContactSet, q, v):
     return act[:, None] * J, act * gamma
 
 
+# ---------------------------------------------------------------------------
+# constrained dynamics with implicit-function derivatives
+# ---------------------------------------------------------------------------
+
+
+def _stacked_contact_vel(model: MultibodyModel, cs: ContactSet, q, v):
+    """(nc,) active-masked stacked LOCAL contact-frame velocity rows.
+    Linear in v: its v-Jacobian is the masked constraint matrix J and its
+    v-pullback applies Jᵀ — the J-free handles the implicit rule uses."""
+    vc6 = _all_frame_velocities(model, [s.frame_id for s in cs.specs], q, v)
+    return jnp.concatenate(
+        [cs.active[k] * vc6[k, : s.dim] for k, s in enumerate(cs.specs)]
+    )
+
+
+def _stacked_contact_err(model: MultibodyModel, cs: ContactSet, q):
+    """(nc,) active-masked stacked placement errors (Baumgarte position
+    terms), one FK sweep for all contacts."""
+    from aligator_tpu.multibody.algorithms import forward_kinematics
+
+    oM = forward_kinematics(model, q)
+    parts = []
+    for k, spec in enumerate(cs.specs):
+        f = model.frames[spec.frame_id]
+        M = se3_mul(
+            oM[f.parent_joint],
+            SE3T(model.frame_R[spec.frame_id], model.frame_p[spec.frame_id]),
+        )
+        if spec.dim == 3:
+            err = (M.R.T @ (M.p - cs.anchor_p[k])[..., None])[..., 0]
+        else:
+            rel_R = cs.anchor_R[k].T @ M.R
+            rel_p = (M.R.T @ (M.p - cs.anchor_p[k])[..., None])[..., 0]
+            err = jnp.concatenate([rel_p, _so3_log(rel_R)])
+        parts.append(cs.active[k] * err)
+    return jnp.concatenate(parts)
+
+
+def _row_gains(cs: ContactSet, dt):
+    """Per-row (kp, kd) broadcast from the per-contact gains."""
+    kp = jnp.concatenate(
+        [jnp.full((s.dim,), 1.0, dt) * cs.kp[k] for k, s in enumerate(cs.specs)]
+    )
+    kd = jnp.concatenate(
+        [jnp.full((s.dim,), 1.0, dt) * cs.kd[k] for k, s in enumerate(cs.specs)]
+    )
+    return kp, kd
+
+
+def _kkt_residual(prox_sigma, a, lam, model, cs: ContactSet, q, v, tau):
+    """KKT residual F(θ; a, λ) of the proximal contact dynamics at FIXED
+    (a, λ), formulated without ever materializing J:
+
+        F_top = RNEA(q, v, a) − Jᵀλ − τ          (Jᵀλ via a VJP of the
+                                                   contact-velocity map)
+        F_bot = a_frame(q, v, a) + Kd·v_c + Kp·err + σλ
+                                                  (frame acceleration via a
+                                                   JVP along the flow)
+
+    The solution of :func:`constrained_dynamics` zeroes F; a JVP of this
+    function w.r.t. θ = (model, contacts, q, v, τ) is the right-hand side
+    of the implicit tangent system. Cost: O(1) kinematic sweeps per
+    tangent vs O(nv) for AD through the mass-matrix assembly."""
+    from aligator_tpu.multibody.algorithms import rnea
+    from aligator_tpu.multibody.spaces import integrate_configuration
+
+    dt = q.dtype
+    vc, pullback = jax.vjp(lambda vv: _stacked_contact_vel(model, cs, q, vv), v)
+    top = rnea(model, q, v, a) - pullback(lam)[0] - tau
+    # frame acceleration along the flow (q̇ = v, v̇ = a)
+    _, facc = jax.jvp(
+        lambda t: _stacked_contact_vel(
+            model, cs, integrate_configuration(model, q, t * v), v + t * a
+        ),
+        (jnp.zeros((), dt),),
+        (jnp.ones((), dt),),
+    )
+    kp, kd = _row_gains(cs, dt)
+    err = _stacked_contact_err(model, cs, q)
+    bot = facc + kd * vc + kp * err + prox_sigma * lam
+    return top, bot
+
+
+def _cd_primal(prox_sigma, model, contacts, q, v, tau):
+    """Primal proximal contact solve; also returns the factorizations the
+    tangent rule reuses."""
+    from aligator_tpu.multibody.algorithms import mass_matrix_and_bias
+
+    M, b = mass_matrix_and_bias(model, q, v)
+    chol = jnp.linalg.cholesky(M)
+    free = jsl.cho_solve((chol, True), tau - b)  # M⁻¹(τ − b)
+
+    J, gamma = _contact_rows(model, contacts, q, v)
+    MinvJt = jsl.cho_solve((chol, True), J.T)  # (nv, nc)
+    G = J @ MinvJt + prox_sigma * jnp.eye(contacts.nc, dtype=q.dtype)
+    Gchol = jnp.linalg.cholesky(G)
+    lam = jsl.cho_solve((Gchol, True), -(gamma + J @ free))
+    a = free + MinvJt @ lam
+    return a, lam, chol, Gchol, J
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(0,))
+def _cd_implicit(prox_sigma, model, contacts, q, v, tau):
+    a, lam, _, _, _ = _cd_primal(prox_sigma, model, contacts, q, v, tau)
+    return a, lam
+
+
+@_cd_implicit.defjvp
+def _cd_implicit_jvp(prox_sigma, primals, tangents):
+    """Implicit differentiation of the contact KKT system (the analogue of
+    pinocchio::computeConstraintDynamicsDerivatives the reference calls in
+    multibody-constraint-fwd.hxx:69-93):
+
+        [ M  −Jᵀ ] [δa]     [δF_top]
+        [ J   σI ] [δλ] = − [δF_bot]
+
+    solved by a Schur complement on M, reusing the primal Cholesky factors
+    of M and G = J·M⁻¹·Jᵀ + σI. δF comes from one JVP of
+    :func:`_kkt_residual`."""
+    model, contacts, q, v, tau = primals
+    a, lam, chol, Gchol, J = _cd_primal(prox_sigma, model, contacts, q, v, tau)
+    _, (dFt, dFb) = jax.jvp(
+        lambda m_, c_, q_, v_, t_: _kkt_residual(
+            prox_sigma, a, lam, m_, c_, q_, v_, t_
+        ),
+        primals,
+        tangents,
+    )
+    dlam = jsl.cho_solve(
+        (Gchol, True), J @ jsl.cho_solve((chol, True), dFt) - dFb
+    )
+    da = jsl.cho_solve((chol, True), J.T @ dlam - dFt)
+    return (a, lam), (da, dlam)
+
+
 def constrained_dynamics(
     model: MultibodyModel,
     contacts: ContactSet,
@@ -230,23 +366,13 @@ def constrained_dynamics(
 
     λ (shape (nc,)) stacks each contact's constraint force in its LOCAL
     frame (the reference's ``pin_data.lambda_c`` layout, used by the
-    contact-force / cone residuals)."""
-    from aligator_tpu.multibody.algorithms import mass_matrix_and_bias
-
-    M, b = mass_matrix_and_bias(model, q, v)
-    chol = jnp.linalg.cholesky(M)
-    free = jsl.cho_solve((chol, True), tau - b)  # M⁻¹(τ − b)
-
+    contact-force / cone residuals). Derivatives use implicit
+    differentiation of the KKT system (:func:`_cd_implicit_jvp`)."""
     if contacts.nc == 0:
-        return free, jnp.zeros((0,), q.dtype)
+        from aligator_tpu.multibody.algorithms import fwd_dynamics
 
-    J, gamma = _contact_rows(model, contacts, q, v)
-    MinvJt = jsl.cho_solve((chol, True), J.T)  # (nv, nc)
-    G = J @ MinvJt + prox_sigma * jnp.eye(contacts.nc, dtype=q.dtype)
-    rhs = -(gamma + J @ free)
-    lam = jnp.linalg.solve(G, rhs)
-    a = free + MinvJt @ lam
-    return a, lam
+        return fwd_dynamics(model, q, v, tau), jnp.zeros((0,), q.dtype)
+    return _cd_implicit(prox_sigma, model, contacts, q, v, tau)
 
 
 def contact_forces(

@@ -375,12 +375,17 @@ def _solve_lq(s: ProxDDPSettings, lq: LQRProblem, mu):
         parallel = s.lq_solver == "parallel" or (
             s.lq_solver == "serial" and s.lq_num_legs and s.lq_num_legs > 1
         )
-        if (
-            parallel or s.lq_solver in ("stagedense", "assoc")
-        ) and s.rollout_type == "nonlinear":
+        # Nonlinear rollout needs per-stage feedback gains. The serial and
+        # assoc solvers produce them; the partitioned-condensing parallel
+        # path is restricted to linear rollouts (the principled reference
+        # restriction, solver-proxddp.hxx:179-182) and the stagedense
+        # oracle solves the monolithic KKT without forming gains.
+        if (parallel or s.lq_solver == "stagedense") and s.rollout_type == "nonlinear":
             raise ValueError(
-                "nonlinear rollout requires the serial LQ solver "
-                "(reference restriction, solver-proxddp.hxx:179-182)"
+                "nonlinear rollout requires an LQ solver with gains "
+                "(serial/assoc); the parallel solver is restricted to "
+                "linear rollouts as in the reference "
+                "(solver-proxddp.hxx:179-182)"
             )
         if parallel:
             return _parallel_solve(
