@@ -15,6 +15,24 @@ Design principles (see SURVEY.md §7.0):
     of exceptions.
 """
 
+import os as _os
+
+import jax as _jax
+
+# f32 matmuls lower to *bf16* MXU passes under XLA's DEFAULT precision —
+# silently costing ~3 decimal digits in every GEMM. bf16 is great for
+# neural-net workloads; it is catastrophic for second-order optimization
+# (a talos-scale mass matrix computed through bf16 products comes out
+# INDEFINITE, and KKT solves at µ ≤ 1e-8 lose all significance). Default
+# the whole library to full-f32 matmul accumulation ("highest"); the hot
+# batched kernels that can tolerate lower precision opt back down
+# locally via explicit `precision=` arguments. Opt out globally with
+# ALIGATOR_TPU_MATMUL_PRECISION=default|high|highest.
+_jax.config.update(
+    "jax_default_matmul_precision",
+    _os.environ.get("ALIGATOR_TPU_MATMUL_PRECISION", "highest"),
+)
+
 from aligator_tpu import gar as gar
 from aligator_tpu import linalg as linalg
 from aligator_tpu import manifolds as manifolds

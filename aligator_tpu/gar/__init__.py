@@ -23,6 +23,10 @@ from aligator_tpu.gar.parallel import (
     make_parallel_solver,
 )
 from aligator_tpu.gar.dense import dense_solve
+from aligator_tpu.gar.stagedense import (
+    StageDenseFactors,
+    solve as stagedense_solve,
+)
 from aligator_tpu.gar.assoc import solve as assoc_solve
 
 __all__ = [
@@ -38,5 +42,7 @@ __all__ = [
     "parallel_solve",
     "make_parallel_solver",
     "dense_solve",
+    "StageDenseFactors",
+    "stagedense_solve",
     "assoc_solve",
 ]

@@ -60,6 +60,14 @@ class LQRProblem:
     # initial condition constraint
     G0: jax.Array  # (nc0, nx)
     g0: jax.Array  # (nc0,)
+    # θ-coefficient of the stage-constraint rows (lqr-problem.hpp:55 Gv):
+    # the stage Lagrangian carries θᵀGvᵀv, i.e. the constraint reads
+    # C x + D u + d + Gv θ − µ v = 0. Defaults to zeros (ProxDDP-built
+    # problems never set it; the parallel solver parameterizes dynamics
+    # only). Declared LAST with a None default so existing constructor
+    # sites stay valid; a None is materialized lazily by `knots_of`/users
+    # via `Gv_or_zeros`.
+    Gv: jax.Array | None = None
 
     @property
     def horizon(self) -> int:
@@ -89,6 +97,15 @@ class LQRProblem:
     def dtype(self):
         return self.Q.dtype
 
+    @property
+    def Gv_or_zeros(self) -> jax.Array:
+        """Gv, materializing the all-zero default."""
+        if self.Gv is None:
+            return jnp.zeros(
+                (self.Q.shape[0], self.nc, self.nth), self.dtype
+            )
+        return self.Gv
+
     def with_parameterization(self, nth: int) -> "LQRProblem":
         """Return a copy with θ-blocks (re)allocated to width ``nth``
         (analogue of ``LqrKnotTpl::addParameterization``)."""
@@ -99,6 +116,7 @@ class LQRProblem:
             Gu=jnp.zeros((N1, self.nu, nth), dt),
             Gth=jnp.zeros((N1, nth, nth), dt),
             gamma=jnp.zeros((N1, nth), dt),
+            Gv=jnp.zeros((N1, self.nc, nth), dt),
         )
 
     def knot(self, t) -> "LQRProblem":
@@ -112,6 +130,7 @@ class LQRProblem:
             Gx=take(self.Gx), Gu=take(self.Gu), Gth=take(self.Gth),
             gamma=take(self.gamma),
             G0=self.G0, g0=self.g0,
+            Gv=None if self.Gv is None else take(self.Gv),
         )
 
     def cycle_append(self, knot: "LQRProblem") -> "LQRProblem":
@@ -127,6 +146,8 @@ class LQRProblem:
 
         names = ["Q", "S", "R", "q", "r", "A", "B", "f", "C", "D", "d",
                  "Gx", "Gu", "Gth", "gamma"]
+        if self.Gv is not None:
+            names.append("Gv")
         return self.replace(**{n: roll_set(n) for n in names})
 
 

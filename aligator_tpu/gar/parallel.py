@@ -56,17 +56,53 @@ from aligator_tpu.linalg.block_tridiag import block_tridiag_solve_refined
 from aligator_tpu.linalg.schur import kkt_solve_refined
 
 
+def _pad_problem(problem: LQRProblem, num_legs: int) -> LQRProblem:
+    """Append decoupled padding knots so (N+1) divides num_legs — the
+    analogue of the reference's uneven `get_work` leg splitting
+    (parallel-solver.hxx:23-28), done by padding instead so every leg runs
+    the identical static-shape program. Pad knots have Q = R = I and zero
+    dynamics/constraints/linear terms: they are fully decoupled from the
+    real knots (the real terminal knot's A/B rows are already zero
+    padding), solve to exactly x = u = 0, and keep every leg-boundary
+    cost-to-go nonsingular for the condensed system."""
+    N1 = problem.horizon + 1
+    pad = (-N1) % num_legs
+    if pad == 0:
+        return problem
+    nx, nu, nc, nth = problem.nx, problem.nu, problem.nc, problem.nth
+    dt = problem.dtype
+    z = lambda *s: jnp.zeros((pad, *s), dt)
+    eye = lambda n: jnp.broadcast_to(jnp.eye(n, dtype=dt), (pad, n, n))
+    cat = lambda a, p: jnp.concatenate([a, p], axis=0)
+    # The ORIGINAL terminal knot's A/B/f slots are unused by convention
+    # (LQRProblem docstring) and may hold garbage; padding turns that knot
+    # into an interior stage which READS them — zero them so the appended
+    # pad chain stays decoupled.
+    A = problem.A.at[N1 - 1].set(0.0)
+    B = problem.B.at[N1 - 1].set(0.0)
+    f = problem.f.at[N1 - 1].set(0.0)
+    return problem.replace(
+        Q=cat(problem.Q, eye(nx)), S=cat(problem.S, z(nx, nu)),
+        R=cat(problem.R, eye(nu)),
+        q=cat(problem.q, z(nx)), r=cat(problem.r, z(nu)),
+        A=cat(A, z(nx, nx)), B=cat(B, z(nx, nu)),
+        f=cat(f, z(nx)),
+        C=cat(problem.C, z(nc, nx)), D=cat(problem.D, z(nc, nu)),
+        d=cat(problem.d, z(nc)),
+        Gx=cat(problem.Gx, z(nx, nth)), Gu=cat(problem.Gu, z(nu, nth)),
+        Gth=cat(problem.Gth, z(nth, nth)), gamma=cat(problem.gamma, z(nth)),
+        Gv=None if problem.Gv is None else cat(problem.Gv, z(nc, nth)),
+    )
+
+
 def _theta_augmented_legs(problem: LQRProblem, num_legs: int) -> Knot:
     """Split the horizon into J legs of length L=(N+1)/J and install the
     boundary-costate parameterization on each interior leg's last knot
-    (θ-width = nx; the final leg's θ-blocks stay zero)."""
+    (θ-width = nx; the final leg's θ-blocks stay zero). The problem must
+    already be padded to a divisible horizon (see :func:`_pad_problem`)."""
     J = num_legs
     N1 = problem.horizon + 1
-    if N1 % J != 0:
-        raise ValueError(
-            f"horizon+1 ({N1}) must be divisible by num_legs ({J}); pad the "
-            "problem to a divisible horizon."
-        )
+    assert N1 % J == 0, "call _pad_problem first"
     L = N1 // J
     nx, nu = problem.nx, problem.nu
     dt = problem.dtype
@@ -79,8 +115,11 @@ def _theta_augmented_legs(problem: LQRProblem, num_legs: int) -> Knot:
     Gu = mb * jnp.swapaxes(problem.B, -1, -2)  # Bᵀ
     gamma = bmask[:, None].astype(dt) * problem.f
     Gth = jnp.zeros((N1, nx, nx), dt)
+    Gv = jnp.zeros((N1, problem.nc, nx), dt)  # legs parameterize dynamics only
 
-    knots = knots_of(problem)._replace(Gx=Gx, Gu=Gu, Gth=Gth, gamma=gamma)
+    knots = knots_of(problem)._replace(
+        Gx=Gx, Gu=Gu, Gth=Gth, gamma=gamma, Gv=Gv
+    )
     return jax.tree.map(lambda a: a.reshape(J, L, *a.shape[1:]), knots)
 
 
@@ -114,22 +153,33 @@ def parallel_solve(
     axis_name: str = "t",
     refine_steps: int = 1,
     condensed_refine: int = 2,
+    return_gains: bool = False,
 ):
     """Solve the constrained LQ problem by partitioned condensing over
     ``num_legs`` legs. If ``mesh`` is given, legs are sharded over
     ``mesh[axis_name]`` with ``shard_map`` (num_legs must be a multiple of
-    the mesh axis size); otherwise legs are vmapped on one device.
+    the mesh axis size); otherwise legs are vmapped on one device. Uneven
+    horizons are padded with decoupled knots (:func:`_pad_problem`) and
+    the outputs truncated back.
 
     Returns (xs, us, vs, lbdas) exactly like the serial solver (matching it
     to factorization accuracy — the equivalence the reference tests in
-    tests/gar/parallel.cpp).
+    tests/gar/parallel.cpp). With ``return_gains=True``, additionally
+    returns the stacked per-stage :class:`Gains` (leading axis N+1) whose
+    stage-0 feedback rows are *collapsed*: the boundary-costate feedback
+    Kth is folded into K via the condensed system's elimination
+    sensitivity ∂θ₀/∂x₀ = −D̃₂⁻¹·Vxt₀ᵀ — the reference's
+    ``collapseFeedback`` (parallel-solver.hpp:41-51), giving an MPC-ready
+    (kff, K) policy at the deployed stage.
     """
     J = num_legs
     dt = problem.dtype
     nx = problem.nx
     mueq = jnp.asarray(mueq, dt)
+    N1 = problem.horizon + 1
 
-    legs = _theta_augmented_legs(problem, J)  # (J, L, ...)
+    padded = _pad_problem(problem, J)
+    legs = _theta_augmented_legs(padded, J)  # (J, L, ...)
 
     bwd = jax.vmap(partial(backward_sweep, mueq=mueq, refine_steps=refine_steps))
     fwd = jax.vmap(forward_sweep)
@@ -148,7 +198,7 @@ def parallel_solve(
     summ = jax.tree.map(lambda a: a[:, 0], vms)
 
     # condensed solve in the splitting variables (replicated — tiny)
-    diag, sup, rhs = _condensed_blocks(problem, summ, J)
+    diag, sup, rhs = _condensed_blocks(padded, summ, J)
     sol = block_tridiag_solve_refined(diag, sup, rhs, refine_steps=condensed_refine)
 
     # scatter: x at leg starts, λ at leg starts, θ per leg
@@ -160,8 +210,23 @@ def parallel_solve(
     )  # (J, nx)
 
     xs, us, vs, lbds = fwd(legs, gains, vms, x_begs, lbd_begs, thetas)
-    unleg = lambda a: a.reshape(a.shape[0] * a.shape[1], *a.shape[2:])
-    return unleg(xs), unleg(us), unleg(vs), unleg(lbds)
+    unleg = lambda a: a.reshape(a.shape[0] * a.shape[1], *a.shape[2:])[:N1]
+    out = (unleg(xs), unleg(us), unleg(vs), unleg(lbds))
+    if not return_gains:
+        return out
+
+    from aligator_tpu.linalg.block_tridiag import block_tridiag_schur
+
+    flat_gains = jax.tree.map(unleg, gains)
+    if J > 1:
+        dtil = block_tridiag_schur(diag, sup)
+        # ∂θ₀/∂x₀ from the up-looking elimination (see block_tridiag_schur)
+        dth_dx0 = -jnp.linalg.solve(dtil[2], summ.Vxt[0].T)
+        flat_gains = flat_gains._replace(
+            K=flat_gains.K.at[0].add(flat_gains.Kth[0] @ dth_dx0),
+            Z=flat_gains.Z.at[0].add(flat_gains.Zth[0] @ dth_dx0),
+        )
+    return out, flat_gains
 
 
 def make_parallel_solver(

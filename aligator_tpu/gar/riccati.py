@@ -52,11 +52,16 @@ class Knot(NamedTuple):
     Gu: jax.Array
     Gth: jax.Array
     gamma: jax.Array
+    Gv: jax.Array
 
 
 def knots_of(problem: LQRProblem) -> Knot:
-    """Extract the horizon-stacked stage fields of a problem."""
-    return Knot(*(getattr(problem, f) for f in Knot._fields))
+    """Extract the horizon-stacked stage fields of a problem (Gv's all-zero
+    default is materialized)."""
+    return Knot(*(
+        problem.Gv_or_zeros if f == "Gv" else getattr(problem, f)
+        for f in Knot._fields
+    ))
 
 
 class CostToGo(NamedTuple):
@@ -107,7 +112,7 @@ def _terminal_solve(knot: Knot, mueq, refine_steps: int) -> tuple[CostToGo, Gain
     dt = knot.Q.dtype
     fac = kkt_factor(knot.R, knot.D, mueq)
     b1 = -jnp.concatenate([knot.r[:, None], knot.S.T, knot.Gu], axis=1)
-    b2 = -jnp.concatenate([knot.d[:, None], knot.C, jnp.zeros((nc, nth), dt)], axis=1)
+    b2 = -jnp.concatenate([knot.d[:, None], knot.C, knot.Gv], axis=1)
     ksol, zsol = kkt_solve_refined(knot.R, knot.D, mueq, b1, b2,
                                    refine_steps=refine_steps, fac=fac)
     kff, K, Kth = ksol[:, 0], ksol[:, 1 : 1 + nx], ksol[:, 1 + nx :]
@@ -115,9 +120,11 @@ def _terminal_solve(knot: Knot, mueq, refine_steps: int) -> tuple[CostToGo, Gain
 
     Vxx = knot.Q + knot.S @ K + knot.C.T @ Z
     vx = knot.q + knot.S @ kff + knot.C.T @ zff
-    Vxt = knot.Gx + K.T @ knot.Gu
-    Vtt = knot.Gth + knot.Gu.T @ Kth
-    vt = knot.gamma + knot.Gu.T @ kff
+    # Gv terms follow the dense kernel (dense-kernel.hpp:83-93); the
+    # reference's serial kernel drops them (Gv ≡ 0 in its use sites).
+    Vxt = knot.Gx + K.T @ knot.Gu + Z.T @ knot.Gv
+    Vtt = knot.Gth + knot.Gu.T @ Kth + knot.Gv.T @ Zth
+    vt = knot.gamma + knot.Gu.T @ kff + knot.Gv.T @ zff
 
     vm = CostToGo(Vxx=0.5 * (Vxx + Vxx.T), vx=vx, Vxt=Vxt, vt=vt,
                   Vtt=0.5 * (Vtt + Vtt.T))
@@ -150,11 +157,7 @@ def _stage_solve(
     fac = kkt_factor(Rhat, knot.D, mueq)
     nc, nth = knot.C.shape[-2], knot.Gth.shape[-1]
     b1 = -jnp.concatenate([rhat[:, None], Shat.T, Guhat], axis=1)
-    # Zth rhs is -Gv in the reference; our problems carry no Gv (the
-    # parallel solver only parameterizes dynamics, Gv ≡ 0).
-    b2 = -jnp.concatenate(
-        [knot.d[:, None], knot.C, jnp.zeros((nc, nth), knot.Q.dtype)], axis=1
-    )
+    b2 = -jnp.concatenate([knot.d[:, None], knot.C, knot.Gv], axis=1)
     ksol, zsol = kkt_solve_refined(Rhat, knot.D, mueq, b1, b2,
                                    refine_steps=refine_steps, fac=fac)
     kff, K, Kth = ksol[:, 0], ksol[:, 1 : 1 + nx], ksol[:, 1 + nx :]
@@ -167,9 +170,13 @@ def _stage_solve(
     Vxx = Qhat + Shat @ K + knot.C.T @ Z
     vx = qhat + Shat @ kff + knot.C.T @ zff
 
-    vt = knot.gamma + vn.vt + knot.Gu.T @ kff + vn.Vxt.T @ yff
-    Vxt = knot.Gx + K.T @ knot.Gu + Acl.T @ vn.Vxt
-    Vtt = knot.Gth + vn.Vtt + knot.Gu.T @ Kth + vn.Vxt.T @ Yth
+    # Gv terms follow the dense kernel (dense-kernel.hpp:146-169); the
+    # reference's serial kernel drops them (Gv ≡ 0 in its use sites).
+    vt = (knot.gamma + vn.vt + knot.Gu.T @ kff + knot.Gv.T @ zff
+          + vn.Vxt.T @ yff)
+    Vxt = knot.Gx + K.T @ knot.Gu + Z.T @ knot.Gv + Acl.T @ vn.Vxt
+    Vtt = (knot.Gth + vn.Vtt + knot.Gu.T @ Kth + knot.Gv.T @ Zth
+           + vn.Vxt.T @ Yth)
 
     vm = CostToGo(Vxx=0.5 * (Vxx + Vxx.T), vx=vx, Vxt=Vxt, vt=vt,
                   Vtt=0.5 * (Vtt + Vtt.T))

@@ -107,6 +107,8 @@ def lqr_kkt_error(
         + p.d
         - mueq * vs
     )
+    if theta is not None and p.nth > 0 and p.Gv is not None:
+        cstr = cstr + jnp.einsum("tij,j->ti", p.Gv, theta)
 
     gx = (
         p.q
@@ -137,6 +139,8 @@ def lqr_kkt_error(
             + jnp.einsum("tji,tj->ti", p.Gu, us)
             + jnp.einsum("tij,j->ti", p.Gth, theta)
         )
+        if p.Gv is not None:
+            gt = gt + jnp.einsum("tji,tj->ti", p.Gv, vs)
         # θ-stationarity holds against the *problem-level* gradient; per-knot
         # gt sums to thGrad — not individually zero. Report it separately.
         gt_err = inf(jnp.sum(gt, axis=0))
@@ -289,6 +293,10 @@ def random_lqr_problem(
     Gth_half = rng.standard_normal((N + 1, nth, nth))
     Gth = Gth_half @ np.transpose(Gth_half, (0, 2, 1)) / max(nth, 1)
     gamma = rng.standard_normal((N + 1, nth))
+    # Gv: θ-coefficient of the constraint rows, zeroed wherever the
+    # constraint rows are padding (so inactive rows stay exactly v = 0).
+    Gv = 0.1 * rng.standard_normal((N + 1, nc, nth))
+    Gv[(C == 0.0).all(axis=(1, 2)) & (d == 0.0).all(axis=1)] = 0.0
     x0 = rng.standard_normal(nx)
     G0 = -np.eye(nx)
     g0 = x0  # constraint g0 + G0 x = 0  →  x0 = x̂0
@@ -299,4 +307,5 @@ def random_lqr_problem(
         A=c(A), B=c(B), f=c(f), C=c(C), D=c(D), d=c(d),
         Gx=c(Gx), Gu=c(Gu), Gth=c(Gth), gamma=c(gamma),
         G0=c(G0), g0=c(g0),
+        Gv=c(Gv) if nth > 0 else None,
     )

@@ -51,6 +51,24 @@ def block_tridiag_solve(
     return xs
 
 
+def block_tridiag_schur(
+    diag: list[jax.Array],
+    upper: list[jax.Array],
+) -> list[jax.Array]:
+    """Up-looking Schur-complemented diagonal blocks D̃ᵢ of the elimination
+    used by :func:`block_tridiag_solve`. The solve's back-substitution
+    satisfies xᵢ = D̃ᵢ⁻¹(b̃ᵢ − uᵢ₋₁ᵀ xᵢ₋₁), so the sensitivity of block i
+    to block i−1 is ∂xᵢ/∂xᵢ₋₁ = −D̃ᵢ⁻¹ uᵢ₋₁ᵀ — what the reference's
+    ``collapseFeedback`` reads off its UDUᵀ factors
+    (gar/parallel-solver.hpp:41-51)."""
+    M = len(diag)
+    dtil = list(diag)
+    for i in range(M - 2, -1, -1):
+        u = upper[i]
+        dtil[i] = dtil[i] - u @ jnp.linalg.solve(dtil[i + 1], u.T)
+    return dtil
+
+
 def block_tridiag_matmul(
     diag: list[jax.Array],
     upper: list[jax.Array],

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 
+from aligator_tpu.linalg.spd import spd_factor, spd_solve, spd_solve_factored
 from aligator_tpu.multibody.model import (
     MultibodyModel,
     joint_transform_and_subspace,
@@ -34,6 +35,7 @@ from aligator_tpu.multibody.spatial import (
     se3_act_inv_motion,
     se3_act_force,
     inertia_mul,
+    inertia_transform,
     motion_cross,
     motion_cross_force,
     Inertia,
@@ -139,28 +141,103 @@ def gravity_torque(model: MultibodyModel, q: jax.Array):
     return rnea(model, q, z, z)
 
 
-def mass_matrix_and_bias(model: MultibodyModel, q: jax.Array, v: jax.Array):
-    """(M(q), b(q, v)) from ONE batched RNEA sweep: rows are
-    [(0, 0), (v, 0), (0, e₁) … (0, e_nv)] → gravity bias, nonlinear
-    effects, and unit-acceleration mass-matrix columns. Keeping a single
-    vmapped RNEA instance in the graph is both the fast TPU layout (one
-    batched sweep) and the cheap-to-compile one."""
+def mass_matrix_rnea(model: MultibodyModel, q: jax.Array) -> jax.Array:
+    """M(q) from unit-acceleration RNEA columns, vmapped (one batched
+    sweep). Kept as an oracle for :func:`crba`: each column is
+    RNEA(q,0,eⱼ) − RNEA(q,0,0), a *difference of gravity-sized terms* —
+    catastrophic in f32 on heavy models (talos gravity torque ≈ 700 N·m vs
+    distal-joint inertias ≈ 1e-3), where it can make M indefinite. Use
+    :func:`crba` (the default) for compute."""
     nv = model.nv
     z = jnp.zeros((nv,), q.dtype)
     eye = jnp.eye(nv, dtype=q.dtype)
-    vs = jnp.concatenate([z[None], v[None], jnp.zeros((nv, nv), q.dtype)], axis=0)
-    accs = jnp.concatenate([z[None], z[None], eye], axis=0)
+    vs = jnp.zeros((nv + 1, nv), q.dtype)
+    accs = jnp.concatenate([z[None], eye], axis=0)
     out = jax.vmap(lambda vv, aa: rnea(model, q, vv, aa))(vs, accs)
-    gbias, b, cols = out[0], out[1], out[2:]
+    gbias, cols = out[0], out[1:]
     M = (cols - gbias).T
-    return 0.5 * (M + M.T), b
+    return 0.5 * (M + M.T)
+
+
+def _inertia_place(I: Inertia, X: SE3T) -> Inertia:
+    """Express a body inertia given in X's local frame in X's target frame
+    (rigid displacement of the 10-parameter form)."""
+    return Inertia(
+        mass=I.mass,
+        com=(X.R @ I.com[..., None])[..., 0] + X.p,
+        I_c=X.R @ I.I_c @ jnp.swapaxes(X.R, -1, -2),
+    )
+
+
+def _inertia_compose(a: Inertia, b: Inertia) -> Inertia:
+    """Sum of two spatial inertias expressed in the same frame, kept in the
+    10-parameter (m, c, I_c) form via Steiner (parallel-axis) updates."""
+    m = a.mass + b.mass
+    c = (a.mass * a.com + b.mass * b.com) / m
+
+    def steiner(I_c, mi, ci):
+        d = ci - c
+        eye = jnp.eye(3, dtype=d.dtype)
+        return I_c + mi * ((d @ d) * eye - jnp.outer(d, d))
+
+    return Inertia(
+        mass=m, com=c,
+        I_c=steiner(a.I_c, a.mass, a.com) + steiner(b.I_c, b.mass, b.com),
+    )
+
+
+def crba(model: MultibodyModel, q: jax.Array) -> jax.Array:
+    """Composite rigid-body algorithm: M(q) via composite inertias — the
+    same algorithm the reference reaches through pinocchio::crba. No
+    gravity term ever enters (unlike RNEA columns, whose gravity-bias
+    cancellation makes talos-scale M *indefinite* in f32), and composites
+    are accumulated in the 10-parameter (m, c, I_c) form with Steiner
+    updates rather than dense 6×6 adjoint congruences — each update is a
+    3×3 rotation congruence plus parallel-axis terms, so f32 roundoff
+    stays ~1e-6 relative instead of the ~1e-3 a 6×6-congruence chain
+    accumulates. Sweeps are unrolled over the static topology; the
+    ancestor walks produce O(depth) small 6×k matmuls per joint that XLA
+    fuses."""
+    nj = model.njoints
+    nv = model.nv
+    offs = model.v_offsets
+    Ms, Ss = _local_transforms(model, q)
+    Ic: list = [
+        Inertia(model.mass[i], model.com[i], model.inertia[i])
+        for i in range(nj)
+    ]
+    for i in range(nj - 1, -1, -1):
+        p = model.parents[i]
+        if p >= 0:
+            Ic[p] = _inertia_compose(Ic[p], _inertia_place(Ic[i], Ms[i]))
+    Ic = [I.matrix() for I in Ic]
+
+    M = jnp.zeros((nv, nv), q.dtype)
+    for i in range(nj):
+        nvi = model.joints[i].nv
+        F = Ic[i] @ Ss[i]  # (6, nvi) composite force per unit joint accel
+        M = M.at[offs[i] : offs[i] + nvi, offs[i] : offs[i] + nvi].set(
+            Ss[i].T @ F
+        )
+        j = i
+        while model.parents[j] >= 0:
+            F = se3_act_force(Ms[j], F.T).T  # express in parent frame
+            j = model.parents[j]
+            nvj = model.joints[j].nv
+            blk = F.T @ Ss[j]  # (nvi, nvj) = M[i-block, j-block]
+            M = M.at[offs[i] : offs[i] + nvi, offs[j] : offs[j] + nvj].set(blk)
+            M = M.at[offs[j] : offs[j] + nvj, offs[i] : offs[i] + nvi].set(blk.T)
+    return M
+
+
+def mass_matrix_and_bias(model: MultibodyModel, q: jax.Array, v: jax.Array):
+    """(M(q) via CRBA, b(q, v) via one RNEA sweep)."""
+    return crba(model, q), rnea(model, q, v, jnp.zeros((model.nv,), q.dtype))
 
 
 def mass_matrix(model: MultibodyModel, q: jax.Array) -> jax.Array:
-    """M(q) from unit-acceleration RNEA columns, vmapped (one batched
-    sweep — MXU/VPU friendly, exact)."""
-    M, _ = mass_matrix_and_bias(model, q, jnp.zeros((model.nv,), q.dtype))
-    return M
+    """M(q) — CRBA (f32-safe; see :func:`crba`)."""
+    return crba(model, q)
 
 
 def aba(
@@ -241,8 +318,7 @@ def aba(
 @jax.custom_jvp
 def _fd_implicit(model: MultibodyModel, q, v, tau) -> jax.Array:
     M, b = mass_matrix_and_bias(model, q, v)
-    chol = jnp.linalg.cholesky(M)
-    return jsl.cho_solve((chol, True), tau - b)
+    return spd_solve(M, tau - b, refine_steps=1)
 
 
 @_fd_implicit.defjvp
@@ -257,12 +333,12 @@ def _fd_implicit_jvp(primals, tangents):
     is what makes talos-scale Jacobians cheap (VERDICT r1 item 3)."""
     model, q, v, tau = primals
     M, b = mass_matrix_and_bias(model, q, v)
-    chol = jnp.linalg.cholesky(M)
-    a = jsl.cho_solve((chol, True), tau - b)
+    fac = spd_factor(M)
+    a = spd_solve_factored(fac, tau - b, refine_steps=1)
     _, dF = jax.jvp(
         lambda m_, q_, v_, t_: rnea(m_, q_, v_, a) - t_, primals, tangents
     )
-    return a, -jsl.cho_solve((chol, True), dF)
+    return a, -spd_solve_factored(fac, dF, refine_steps=1)
 
 
 def fwd_dynamics(
@@ -281,8 +357,7 @@ def fwd_dynamics(
         return _fd_implicit(model, q, v, tau)
     M = mass_matrix(model, q)
     b = rnea(model, q, v, jnp.zeros_like(v), f_ext=f_ext)
-    chol = jnp.linalg.cholesky(M)
-    return jsl.cho_solve((chol, True), tau - b)
+    return spd_solve(M, tau - b, refine_steps=1)
 
 
 def centroidal_momentum(model: MultibodyModel, q: jax.Array, v: jax.Array):

@@ -304,20 +304,25 @@ def _kkt_residual(prox_sigma, a, lam, model, cs: ContactSet, q, v, tau):
 
 def _cd_primal(prox_sigma, model, contacts, q, v, tau):
     """Primal proximal contact solve; also returns the factorizations the
-    tangent rule reuses."""
+    tangent rule reuses. Both the mass matrix and the Delassus/Schur
+    operator are solved with Jacobi-equilibrated Cholesky + one refinement
+    step (linalg/spd.py) — cond(M) ≈ 3e4 at talos scale would otherwise
+    cost ~3 digits in f32."""
     from aligator_tpu.multibody.algorithms import mass_matrix_and_bias
+    from aligator_tpu.linalg.spd import spd_factor, spd_solve_factored
 
     M, b = mass_matrix_and_bias(model, q, v)
-    chol = jnp.linalg.cholesky(M)
-    free = jsl.cho_solve((chol, True), tau - b)  # M⁻¹(τ − b)
+    mfac = spd_factor(M)
+    free = spd_solve_factored(mfac, tau - b, refine_steps=1)  # M⁻¹(τ − b)
 
     J, gamma = _contact_rows(model, contacts, q, v)
-    MinvJt = jsl.cho_solve((chol, True), J.T)  # (nv, nc)
+    MinvJt = spd_solve_factored(mfac, J.T, refine_steps=1)  # (nv, nc)
     G = J @ MinvJt + prox_sigma * jnp.eye(contacts.nc, dtype=q.dtype)
-    Gchol = jnp.linalg.cholesky(G)
-    lam = jsl.cho_solve((Gchol, True), -(gamma + J @ free))
+    G = 0.5 * (G + G.T)
+    gfac = spd_factor(G)
+    lam = spd_solve_factored(gfac, -(gamma + J @ free), refine_steps=1)
     a = free + MinvJt @ lam
-    return a, lam, chol, Gchol, J
+    return a, lam, mfac, gfac, J
 
 
 @partial(jax.custom_jvp, nondiff_argnums=(0,))
@@ -338,8 +343,10 @@ def _cd_implicit_jvp(prox_sigma, primals, tangents):
     solved by a Schur complement on M, reusing the primal Cholesky factors
     of M and G = J·M⁻¹·Jᵀ + σI. δF comes from one JVP of
     :func:`_kkt_residual`."""
+    from aligator_tpu.linalg.spd import spd_solve_factored
+
     model, contacts, q, v, tau = primals
-    a, lam, chol, Gchol, J = _cd_primal(prox_sigma, model, contacts, q, v, tau)
+    a, lam, mfac, gfac, J = _cd_primal(prox_sigma, model, contacts, q, v, tau)
     _, (dFt, dFb) = jax.jvp(
         lambda m_, c_, q_, v_, t_: _kkt_residual(
             prox_sigma, a, lam, m_, c_, q_, v_, t_
@@ -347,10 +354,11 @@ def _cd_implicit_jvp(prox_sigma, primals, tangents):
         primals,
         tangents,
     )
-    dlam = jsl.cho_solve(
-        (Gchol, True), J @ jsl.cho_solve((chol, True), dFt) - dFb
+    dlam = spd_solve_factored(
+        gfac, J @ spd_solve_factored(mfac, dFt, refine_steps=1) - dFb,
+        refine_steps=1,
     )
-    da = jsl.cho_solve((chol, True), J.T @ dlam - dFt)
+    da = spd_solve_factored(mfac, J.T @ dlam - dFt, refine_steps=1)
     return (a, lam), (da, dlam)
 
 

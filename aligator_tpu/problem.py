@@ -247,6 +247,88 @@ def compute_derivatives(
     )
 
 
+def compute_vhp(
+    problem: TrajOptProblem,
+    xs: jax.Array,
+    us: jax.Array,
+    lams: jax.Array,
+    vs: jax.Array,
+    vs_term: jax.Array,
+):
+    """Second-order constraint terms of the Lagrangian — the
+    vector-Hessian products the reference computes in
+    ``computeVectorHessianProducts`` (core/function-abstract.hpp:61) and
+    adds to the LQ blocks under ``HessianApprox::EXACT``
+    (solver-proxddp.hxx:771-775, :805 for the init constraint). In JAX
+    this is one ``jax.hessian`` of the multiplier-weighted residual sum
+    per stage, vmapped over the horizon (forward-over-reverse through the
+    dynamics/constraint graphs).
+
+    Returns (Hxx (N+1, ndx, ndx), Hxu (N, ndx, nu), Huu (N, nu, nu));
+    Hxx[0] additionally carries the initial-constraint VHP and Hxx[N] the
+    terminal-constraint VHP. Besides the constraint/dynamics VHPs, the
+    terms include the *exact-minus-Gauss-Newton cost curvature*
+    (Σᵢ (W r)ᵢ ∂²rᵢ for residual costs — what the reference's
+    quad-residual-cost computes in computeVectorHessianProducts,
+    quad-residual-cost.hxx:61), so adding these to the GN blocks yields
+    the full Lagrangian Hessian.
+    """
+    space = problem.space
+    N = problem.nsteps
+    ndx, nu = space.ndx, problem.nu
+    dt = xs.dtype
+
+    def stage(dyn, cost, cstrs, x, u, x_next, lam_next, v):
+        def weighted(z):
+            dx, du = z[:ndx], z[ndx:]
+            xp = space.integrate(x, dx)
+            up = u + du
+            s = jnp.dot(lam_next, dyn.defect(space, xp, up, x_next))
+            s = s + cost.value(space, xp, up)
+            if problem.nc:
+                s = s + jnp.dot(v, _stage_cstr_values(problem, cstrs, xp, up))
+            return s
+
+        H = jax.hessian(weighted)(jnp.zeros((ndx + nu,), dt))
+        # subtract the cost's model Hessian (GN for residual costs) — the
+        # caller adds these VHPs ON TOP of the GN blocks
+        Lxx, Lxu, Luu = cost.hessians(space, x, u)
+        return (H[:ndx, :ndx] - Lxx, H[:ndx, ndx:] - Lxu,
+                H[ndx:, ndx:] - Luu)
+
+    Hxx, Hxu, Huu = jax.vmap(stage)(
+        problem.dynamics, problem.cost, problem.constraints, xs[:N], us,
+        xs[1:], lams[1:], vs,
+    )
+
+    def weighted_term(dx):
+        xp = space.integrate(xs[N], dx)
+        u_zero = jnp.zeros((nu,), dt)
+        s = problem.term_cost.value(space, xp, u_zero)
+        if problem.nc_term:
+            s = s + jnp.dot(
+                vs_term,
+                _stage_cstr_values(problem, problem.term_constraints, xp, u_zero),
+            )
+        return s
+
+    HxxN = jax.hessian(weighted_term)(jnp.zeros((ndx,), dt))
+    LxxN, _, _ = problem.term_cost.hessians(
+        space, xs[N], jnp.zeros((nu,), dt)
+    )
+    HxxN = HxxN - LxxN
+
+    def weighted_init(dx):
+        xp = space.integrate(xs[0], dx)
+        return jnp.dot(lams[0], space.difference(problem.x0, xp))
+
+    Hxx0 = jax.hessian(weighted_init)(jnp.zeros((ndx,), dt))
+
+    Hxx = jnp.concatenate([Hxx, HxxN[None]], axis=0)
+    Hxx = Hxx.at[0].add(Hxx0)
+    return Hxx, Hxu, Huu
+
+
 def rollout(problem: TrajOptProblem, x0, us: jax.Array) -> jax.Array:
     """Open-loop rollout of the dynamics (reference utils/rollout.hpp);
     returns xs (N+1, nx)."""

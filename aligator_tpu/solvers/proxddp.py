@@ -107,6 +107,13 @@ class ProxDDPSettings:
     # Nonlinear requires the serial LQ solver (as in the reference, where
     # the parallel solver is restricted to linear rollouts).
     rollout_type: str = "linear"  # "linear" | "nonlinear"
+    # Hessian model (reference HessianApprox, solver-proxddp.hxx:771-775):
+    # "gauss_newton" keeps cost Hessians only (the reference default);
+    # "exact" adds the multiplier-weighted second-order terms of dynamics
+    # and constraints (vector-Hessian products via jax.hessian — the
+    # reference's computeVectorHessianProducts, function-abstract.hpp:61),
+    # weighted by the AL multiplier estimates (λ⁺, v⁺).
+    hessian_approx: str = "gauss_newton"  # "gauss_newton" | "exact"
     # observability (reference Logger + HistoryCallback, SURVEY §5.5)
     verbose: bool = False  # stream the iteration table via jax.debug.callback
     record_history: bool = False  # per-iter scalars in results.history
@@ -115,12 +122,14 @@ class ProxDDPSettings:
     riccati_refine: int = 1
     # LQ solver choice (reference LQSolverChoice: LQ_SOLVER_SERIAL /
     # PARALLEL / STAGEDENSE). "parallel" additionally needs lq_num_legs>1
-    # (and optionally a mesh for sharded legs); "stagedense" solves the
-    # monolithic dense KKT (gar/dense.py — the reference's
-    # RiccatiSolverDense analogue, useful for debugging conditioning);
-    # "assoc" is the log-depth associative-scan Riccati (gar/assoc.py — no
-    # reference analogue; best single-instance latency on long horizons).
-    lq_solver: str = "serial"  # "serial" | "parallel" | "stagedense" | "assoc"
+    # (and optionally a mesh for sharded legs); "stagedense" is the O(N)
+    # per-stage [u,ν,x⁺,λ⁺] LU recursion (gar/stagedense.py — the
+    # reference's RiccatiSolverDense analogue, robust for ill-conditioned
+    # subproblems); "dense_oracle" solves the monolithic dense KKT
+    # (gar/dense.py — an O((N·n)³) test oracle); "assoc" is the log-depth
+    # associative-scan Riccati (gar/assoc.py — no reference analogue; best
+    # single-instance latency on long horizons).
+    lq_solver: str = "serial"  # "serial"|"parallel"|"stagedense"|"dense_oracle"|"assoc"
     # parallel (partitioned-condensing) LQ solver: number of legs; 0 = serial
     lq_num_legs: int = 0
     lq_mesh: Any = None
@@ -304,8 +313,10 @@ def _build_lq(
     Lus,
     mu,
     preg,
+    vhp=None,
 ) -> LQRProblem:
-    """computeProjectedJacobians (:24-69) + updateLQSubproblem (:734-805)."""
+    """computeProjectedJacobians (:24-69) + updateLQSubproblem (:734-805).
+    ``vhp`` optionally carries (Hxx, Hxu, Huu) exact second-order terms."""
     N = problem.nsteps
     ndx, nu, nc, nct = problem.ndx, problem.nu, problem.nc, problem.nc_term
     ncp = max(nc, nct)
@@ -335,11 +346,17 @@ def _build_lq(
         CxN_p = derivs.Cx_term
 
     # stacked knots 0..N (terminal control slot = exact padding R=I)
-    Q = jnp.concatenate([derivs.Lxx[:N] + preg * eye_x,
-                         (derivs.Lxx[N] + preg * eye_x)[None]], axis=0)
-    R = jnp.concatenate([derivs.Luu + preg * eye_u,
+    Lxx, Lxu, Luu = derivs.Lxx, derivs.Lxu, derivs.Luu
+    if vhp is not None:
+        Hxx, Hxu, Huu = vhp
+        Lxx = Lxx + Hxx
+        Lxu = Lxu + Hxu
+        Luu = Luu + Huu
+    Q = jnp.concatenate([Lxx[:N] + preg * eye_x,
+                         (Lxx[N] + preg * eye_x)[None]], axis=0)
+    R = jnp.concatenate([Luu + preg * eye_u,
                          jnp.eye(nu, dtype=dt)[None]], axis=0)
-    S = jnp.concatenate([derivs.Lxu, jnp.zeros((1, ndx, nu), dt)], axis=0)
+    S = jnp.concatenate([Lxu, jnp.zeros((1, ndx, nu), dt)], axis=0)
     q = jnp.concatenate([Lxs[:N] + corr_x, (Lxs[N] + corr_xN)[None]], axis=0)
     r = jnp.concatenate([Lus, jnp.zeros((1, nu), dt)], axis=0)
 
@@ -375,16 +392,17 @@ def _solve_lq(s: ProxDDPSettings, lq: LQRProblem, mu):
         parallel = s.lq_solver == "parallel" or (
             s.lq_solver == "serial" and s.lq_num_legs and s.lq_num_legs > 1
         )
-        # Nonlinear rollout needs per-stage feedback gains. The serial and
-        # assoc solvers produce them; the partitioned-condensing parallel
-        # path is restricted to linear rollouts (the principled reference
-        # restriction, solver-proxddp.hxx:179-182) and the stagedense
-        # oracle solves the monolithic KKT without forming gains.
-        if (parallel or s.lq_solver == "stagedense") and s.rollout_type == "nonlinear":
+        # Nonlinear rollout needs per-stage feedback gains. The serial,
+        # assoc and stagedense solvers produce them; the
+        # partitioned-condensing parallel path is restricted to linear
+        # rollouts (the principled reference restriction,
+        # solver-proxddp.hxx:179-182) and the dense_oracle solves the
+        # monolithic KKT without forming gains.
+        if (parallel or s.lq_solver == "dense_oracle") and s.rollout_type == "nonlinear":
             raise ValueError(
                 "nonlinear rollout requires an LQ solver with gains "
-                "(serial/assoc); the parallel solver is restricted to "
-                "linear rollouts as in the reference "
+                "(serial/assoc/stagedense); the parallel solver is "
+                "restricted to linear rollouts as in the reference "
                 "(solver-proxddp.hxx:179-182)"
             )
         if parallel:
@@ -393,6 +411,11 @@ def _solve_lq(s: ProxDDPSettings, lq: LQRProblem, mu):
                 axis_name=s.lq_axis_name, refine_steps=s.riccati_refine,
             ), None
         if s.lq_solver == "stagedense":
+            from aligator_tpu.gar import stagedense as _sd
+
+            xs, us, vs, lbds, sd_factors = _sd.solve(lq, mu)
+            return (xs, us, vs, lbds), sd_factors.gains
+        if s.lq_solver == "dense_oracle":
             from aligator_tpu.gar.dense import dense_solve
 
             return dense_solve(lq, mu), None
@@ -417,12 +440,20 @@ def solve(
     us_init: Optional[jax.Array] = None,
     vs_init: Optional[jax.Array] = None,
     lams_init: Optional[jax.Array] = None,
+    mu_init: Optional[jax.Array] = None,
+    tol: Optional[jax.Array] = None,
 ) -> ProxDDPResults:
     """Run ProxDDP (reference SolverProxDDPTpl::run, solver-proxddp.hxx:421).
     Pure jittable function; warm starts are optional arrays.
 
     ``force_initial_condition`` semantics (the reference default) are
     baked in: xs[0] is pinned to problem.x0, dxs[0] = dlams[0] = 0.
+
+    ``mu_init`` / ``tol`` may be passed as *traced* scalars, overriding the
+    (static) settings fields without recompiling — the reference mutates
+    the corresponding solver members between ``run()`` calls; here the
+    override keeps one compiled program across penalty/tolerance sweeps
+    (e.g. MPC retuning).
     """
     s = settings
     N = problem.nsteps
@@ -437,14 +468,20 @@ def solve(
     vsT0 = jnp.zeros((nct,), dt)
     lams0 = jnp.zeros((N + 1, ndx), dt) if lams_init is None else jnp.asarray(lams_init)
 
-    target_tol = jnp.asarray(s.tol, dt)
-    target_dual = jnp.asarray(s.tol if s.dual_tol is None else s.dual_tol, dt)
+    target_tol = jnp.asarray(s.tol if tol is None else tol, dt)
+    if s.dual_tol is not None:
+        target_dual = jnp.asarray(s.dual_tol, dt)
+    else:
+        target_dual = target_tol
 
     def tols_on_failure(mu):
         arg = jnp.minimum(mu, 0.99)
         return (arg**s.prim_alpha, arg**s.dual_alpha)  # (prim_tol, inner_tol)
 
-    mu_init = jnp.maximum(jnp.asarray(s.mu_init, dt), s.mu_lower_bound)
+    mu_init = jnp.maximum(
+        jnp.asarray(s.mu_init if mu_init is None else mu_init, dt),
+        s.mu_lower_bound,
+    )
     prim_tol0, inner_tol0 = tols_on_failure(mu_init)
     inner_tol0 = jnp.maximum(inner_tol0, target_dual)
     prim_tol0 = jnp.maximum(prim_tol0, target_tol)
@@ -549,7 +586,20 @@ def solve(
             jnp.maximum(s.reg_init, s.reg_min),
             jnp.maximum(s.reg_min, st.preg_last * s.reg_dec_k),
         )
-        lq = _build_lq(problem, data, derivs, mult, Lxs_c, Lus_c, st.mu, preg)
+        if s.hessian_approx == "exact":
+            from aligator_tpu.problem import compute_vhp as _compute_vhp
+
+            # weights = the current (Newton) duals, not the AL estimates:
+            # λ⁺ = λ + defect/µ_dyn amplifies defect noise by 1/µ at tight
+            # penalties, poisoning the curvature model.
+            vhp = _compute_vhp(
+                problem, st.pt.xs, st.pt.us,
+                st.pt.lams, st.pt.vs, st.pt.vs_term,
+            )
+        else:
+            vhp = None
+        lq = _build_lq(problem, data, derivs, mult, Lxs_c, Lus_c, st.mu, preg,
+                       vhp=vhp)
         (dxs, dus_full, dvs_full, dlams), gains = _solve_lq(s, lq, st.mu)
         dxs = dxs.at[0].set(0.0)
         dlams = dlams.at[0].set(0.0)
@@ -565,7 +615,17 @@ def solve(
             problem, derivs, mult.lams_plus, mult.vs_plus, mult.vs_plus_term
         )
         dphi0 = jnp.sum(Lxs_p * dpt.xs) + jnp.sum(Lus_p * dpt.us)
-        exit_dphi = jnp.abs(dphi0) <= s.dphi_thresh  # early stop (:644)
+        # ascent direction ⇒ the (regularized) Hessian model is indefinite
+        # (possible with hessian_approx="exact", or f32 roundoff). The
+        # merit linesearches (armijo/nonmonotone) require descent: the
+        # step is rejected below and preg escalates — the reference's
+        # inertia-correction ladder (solver-proxddp.hpp:343-361). The
+        # filter strategy judges (merit, infeasibility) dominance instead
+        # and may legitimately accept merit-ascent Newton steps
+        # (core/filter.hpp), so it only rejects non-finite trials.
+        ascent = dphi0 >= 0.0
+        bad_dir = ascent if s.sa_strategy != "filter" else jnp.asarray(False)
+        exit_dphi = (~ascent) & (-dphi0 <= s.dphi_thresh)  # early stop (:644)
 
         # step acceptance: interpolating Armijo / nonmonotone / filter ------
         phi0 = st.merit
@@ -614,8 +674,21 @@ def solve(
             )
             filt_f = st.filt
 
-        # accept step
-        hit_min = alpha_f <= s.alpha_min
+        # accept step — unless the direction was ascent or the trial merit
+        # is non-finite, in which case REVERT to the current point and
+        # escalate regularization (the reference raises/catches NaN and
+        # bumps preg_; inside jit we mask instead, SURVEY §7.0)
+        ok = jnp.isfinite(phi_f) & (~bad_dir)
+        sel = lambda new, old: jax.tree.map(
+            lambda n, o: jnp.where(ok, n, o), new, old
+        )
+        pt_f = sel(pt_f, st.pt)
+        data_f = sel(data_f, data)
+        mult_f = sel(mult_f, mult)
+        phi_f = jnp.where(ok, phi_f, st.merit)
+        alpha_f = jnp.where(ok, alpha_f, 0.0)
+
+        hit_min = (alpha_f <= s.alpha_min) | ~ok
         preg_next = jnp.where(
             hit_min,
             jnp.where(st.preg_last == 0.0, preg * s.reg_inc_first_k, preg * s.reg_inc_k),
@@ -649,7 +722,7 @@ def solve(
             filt=filt_f,
             hist=hist,
             iters=st.iters + 1,
-            failed=st.failed | fail_reg | ~jnp.isfinite(phi_f),
+            failed=st.failed | fail_reg,
         )
         return st, data_f, mult_f, exit_dphi
 

@@ -60,6 +60,48 @@ def test_parallel_sharded_mesh():
     np.testing.assert_allclose(np.asarray(lbds_p), np.asarray(lbds_s), atol=1e-8)
 
 
+@pytest.mark.parametrize("N", [22, 25, 100])
+def test_parallel_uneven_legs(N):
+    """(N+1) not divisible by num_legs: pad-knot splitting (the analogue of
+    the reference's uneven get_work ranges, parallel-solver.hxx:23-28).
+    N=100 is the north-star horizon — 101 knots on 8 legs."""
+    problem = _problem(N, seed=5)
+    mueq = 1e-10
+    xs_s, us_s, vs_s, lbds_s = jax.jit(lambda p: gar.riccati_solve(p, mueq)[:4])(
+        problem
+    )
+    xs_p, us_p, vs_p, lbds_p = jax.jit(
+        lambda p: gar.parallel_solve(p, mueq, 8)
+    )(problem)
+    assert xs_p.shape == xs_s.shape  # outputs truncated back to N+1
+    np.testing.assert_allclose(np.asarray(xs_p), np.asarray(xs_s), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(us_p), np.asarray(us_s), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(vs_p), np.asarray(vs_s), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(lbds_p), np.asarray(lbds_s), atol=1e-7)
+
+
+def test_parallel_collapse_feedback():
+    """collapseFeedback (parallel-solver.hpp:41-51): the collapsed stage-0
+    feedback must equal the serial solver's K₀/Z₀ (which has no θ)."""
+    problem = _problem(23, seed=7)
+    mueq = 1e-10
+    factors = jax.jit(lambda p: gar.backward(p, mueq, refine_steps=2))(problem)
+    _, gains_p = jax.jit(
+        lambda p: gar.parallel_solve(p, mueq, 4, return_gains=True)
+    )(problem)
+    np.testing.assert_allclose(
+        np.asarray(gains_p.K[0]), np.asarray(factors.gains.K[0]), atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(gains_p.Z[0]), np.asarray(factors.gains.Z[0]), atol=1e-7
+    )
+    # NOTE: kff is NOT compared — the leg feedforward excludes the solved
+    # boundary-costate contribution Kth·θ₀ (a different, equally valid
+    # decomposition of the same u₀; realized trajectories match, see
+    # test_parallel_matches_serial_vmap_legs). The MPC policy is
+    # u(x) = u₀* + K_collapsed·(x ⊖ x₀*).
+
+
 def test_dense_solver_matches_serial():
     problem = _problem(11, seed=31)
     mueq = 1e-9

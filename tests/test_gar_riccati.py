@@ -91,11 +91,12 @@ def test_riccati_parametric_theta():
     _check(problem, mueq, xs, us, vs, lbds, theta=theta)
 
     # value-function gradient wrt θ: thGrad + thHess·θ equals the total
-    # θ-gradient Σ_t (γ + Gxᵀx + Guᵀu + Gth θ) at the solution.
+    # θ-gradient Σ_t (γ + Gxᵀx + Guᵀu + Gvᵀv + Gth θ) at the solution.
     gt = (
         problem.gamma
         + jnp.einsum("tji,tj->ti", problem.Gx, xs)
         + jnp.einsum("tji,tj->ti", problem.Gu, us)
+        + jnp.einsum("tji,tj->ti", problem.Gv_or_zeros, vs)
         + jnp.einsum("tij,j->ti", problem.Gth, theta)
     )
     lhs = factors.th_grad + factors.th_hess @ theta
