@@ -1,0 +1,119 @@
+"""URDF importer gates (multibody/urdf.py).
+
+The reference consumes robots through pinocchio::urdf::buildModel
+(bench/croc-talos-arm.cpp:1-125); these tests gate the rebuild's importer
+on the vendored UR5 the same way Pinocchio's own URDF tests do: dimension
+parity (nq/nv), mass bookkeeping, and the *analytically known* UR5
+zero-configuration TCP placement — a closed-form check of the full
+origin/axis/fixed-joint chain.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from aligator_tpu.multibody import algorithms as alg
+from aligator_tpu.multibody.urdf import load_ur5, load_urdf
+
+
+def test_ur5_dimensions():
+    model = load_ur5()
+    # pin.buildModelFromUrdf(ur5.urdf): nq = nv = 6 (six revolute joints;
+    # the ee fixed joint is welded, base_link is the universe body).
+    assert model.nq == 6
+    assert model.nv == 6
+    assert model.njoints == 6
+    # movable-link masses only (base_link's 4.0 kg belongs to the world)
+    np.testing.assert_allclose(
+        float(jnp.sum(model.mass)),
+        3.7 + 8.393 + 2.275 + 1.219 + 1.219 + 0.1879 + 0.001,  # + welded ee
+        rtol=1e-12,
+    )
+
+
+def test_ur5_zero_pose_tcp():
+    """UR5 zero-configuration TCP: the textbook closed-form from the DH
+    table — x = a2 + a3, y = d4 + d6, z = d1 − d5."""
+    model = load_ur5()
+    q = jnp.zeros(6)
+    M = alg.frame_placement(model, q, model.frame_id("ee_link"))
+    np.testing.assert_allclose(
+        np.asarray(M.p),
+        [0.425 + 0.39225, 0.10915 + 0.0823, 0.089159 - 0.09465],
+        atol=1e-9,
+    )
+
+
+def test_ur5_dynamics_sane():
+    model = load_ur5()
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(0.3 * rng.standard_normal(6))
+    Mq = alg.mass_matrix(model, q)
+    # SPD + symmetric
+    np.testing.assert_allclose(np.asarray(Mq), np.asarray(Mq).T, atol=1e-12)
+    assert np.all(np.linalg.eigvalsh(np.asarray(Mq)) > 0)
+    # RNEA/fwd-dynamics round trip
+    v = jnp.asarray(0.2 * rng.standard_normal(6))
+    tau = jnp.asarray(rng.standard_normal(6))
+    a = alg.fwd_dynamics(model, q, v, tau)
+    tau_back = alg.rnea(model, q, v, a)
+    np.testing.assert_allclose(np.asarray(tau_back), np.asarray(tau), atol=1e-8)
+
+
+_TWO_LINK = """
+<robot name="twolink">
+  <link name="base">
+    <inertial><mass value="1.0"/><inertia ixx="0.1" iyy="0.1" izz="0.1"/></inertial>
+  </link>
+  <joint name="j1" type="continuous">
+    <parent link="base"/><child link="l1"/>
+    <origin xyz="0 0 0.5" rpy="0 0 0"/><axis xyz="0 1 0"/>
+  </joint>
+  <link name="l1">
+    <inertial><origin xyz="0.25 0 0"/><mass value="2.0"/>
+      <inertia ixx="0.01" iyy="0.05" izz="0.05"/></inertial>
+  </link>
+  <joint name="jfix" type="fixed">
+    <parent link="l1"/><child link="tip"/>
+    <origin xyz="0.5 0 0" rpy="0 0 0"/>
+  </joint>
+  <link name="tip">
+    <inertial><mass value="1.0"/><inertia ixx="1e-4" iyy="1e-4" izz="1e-4"/></inertial>
+  </link>
+</robot>
+"""
+
+
+def test_fixed_joint_welding():
+    """A fixed child's inertia folds into the supporting joint's body with
+    the correct composite CoM, and the welded link becomes a frame."""
+    model = load_urdf(_TWO_LINK)
+    assert model.nq == model.nv == 1
+    # composite body on j1: 2.0 kg at x=0.25 + 1.0 kg at x=0.5 → 3 kg at x=1/3
+    np.testing.assert_allclose(float(model.mass[0]), 3.0, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(model.com[0]), [1.0 / 3.0, 0, 0], atol=1e-12)
+    tipM = alg.frame_placement(model, jnp.zeros(1), model.frame_id("tip"))
+    np.testing.assert_allclose(np.asarray(tipM.p), [0.5, 0, 0.5], atol=1e-12)
+    # gravity torque about the +y pitch joint with the composite CoM at
+    # +x: g(q) = ∂V/∂θ = −m·g·x_com (rotating about +y lowers the mass)
+    g = alg.gravity_torque(model, jnp.zeros(1))
+    np.testing.assert_allclose(float(g[0]), -3.0 * 9.81 * (1.0 / 3.0), rtol=1e-9)
+
+
+def test_free_flyer_root():
+    model = load_urdf(_TWO_LINK, free_flyer=True)
+    assert model.nq == 7 + 1
+    assert model.nv == 6 + 1
+    # the base link's 1.0 kg now belongs to the floating body
+    np.testing.assert_allclose(float(model.mass[0]), 1.0, rtol=1e-12)
+
+
+def test_bad_input_rejected():
+    with pytest.raises(ValueError):
+        load_urdf("<robot name='x'><link name='a'/></robot>")  # no joints
+    with pytest.raises(ValueError):
+        load_urdf(
+            "<robot name='x'><link name='a'/><link name='b'/>"
+            "<joint name='j' type='planar'>"
+            "<parent link='a'/><child link='b'/></joint></robot>"
+        )
