@@ -117,6 +117,16 @@ class ProxDDPSettings:
     # observability (reference Logger + HistoryCallback, SURVEY §5.5)
     verbose: bool = False  # stream the iteration table via jax.debug.callback
     record_history: bool = False  # per-iter scalars in results.history
+    # full iterate trace (reference HistoryCallback with store_primal_dual=
+    # true, core/history-callback.hpp:13-46): per-iteration xs/us/lams
+    # snapshots in results.history_xs/us/lams, shaped (max_iters, ...).
+    record_iterates: bool = False
+    # user observer hook (reference CallbackBase / registerCallback,
+    # core/callback-base.hpp): a Python callable invoked from inside the
+    # jitted solve via jax.debug.callback after every accepted iteration as
+    # callback(iter, xs, us, lams, prim_infeas, dual_infeas) with concrete
+    # numpy arrays. Side effects only — the return value is ignored.
+    callback: Any = None
     # misc
     mu_dyn_scale: float = 0.1  # mu_dyn() = 0.1 * mu (solver-proxddp.hpp:313)
     riccati_refine: int = 1
@@ -181,6 +191,12 @@ class ProxDDPResults:
     # (max_iters, 7) per-iteration [alpha, inner_crit, prim, dual, merit,
     # mu, preg] when record_history (HistoryCallback analog); (0, 7) else
     history: jax.Array
+    # full iterate trace when record_iterates (history-callback.hpp:26-36
+    # xs_storage/us_storage/lams_storage): (max_iters, N+1, nx) /
+    # (max_iters, N, nu) / (max_iters, N+1, ndx); (0, ...) otherwise
+    history_xs: jax.Array
+    history_us: jax.Array
+    history_lams: jax.Array
 
 
 @struct.dataclass
@@ -206,6 +222,9 @@ class _State:
     ls_w: jax.Array
     filt: FilterState
     hist: jax.Array
+    hist_xs: jax.Array
+    hist_us: jax.Array
+    hist_lams: jax.Array
 
 
 def _inf(a):
@@ -498,6 +517,11 @@ def solve(
         traj_cost=zero, merit=zero, ls_avg=zero, ls_w=zero,
         filt=filter_init(s.filter_capacity, dt),
         hist=jnp.zeros((s.max_iters if s.record_history else 0, 7), dt),
+        hist_xs=jnp.zeros((s.max_iters if s.record_iterates else 0,) + xs0.shape, dt),
+        hist_us=jnp.zeros((s.max_iters if s.record_iterates else 0,) + us0.shape, dt),
+        hist_lams=jnp.zeros(
+            (s.max_iters if s.record_iterates else 0,) + lams0.shape, dt
+        ),
     )
 
     # ------------------------------------------------------------------
@@ -709,6 +733,16 @@ def solve(
             row = jnp.stack([alpha_f, inner_crit, mult_f.prim_infeas,
                              dual_infeas, phi_f, st.mu, preg])
             hist = hist.at[st.iters].set(row)
+        hist_xs, hist_us, hist_lams = st.hist_xs, st.hist_us, st.hist_lams
+        if s.record_iterates:
+            hist_xs = hist_xs.at[st.iters].set(pt_f.xs)
+            hist_us = hist_us.at[st.iters].set(pt_f.us)
+            hist_lams = hist_lams.at[st.iters].set(pt_f.lams)
+        if s.callback is not None:
+            jax.debug.callback(
+                s.callback, st.iters, pt_f.xs, pt_f.us, pt_f.lams,
+                mult_f.prim_infeas, dual_infeas, ordered=True,
+            )
 
         st = st.replace(
             pt=pt_f,
@@ -721,6 +755,9 @@ def solve(
             ls_w=ls_w,
             filt=filt_f,
             hist=hist,
+            hist_xs=hist_xs,
+            hist_us=hist_us,
+            hist_lams=hist_lams,
             iters=st.iters + 1,
             failed=st.failed | fail_reg,
         )
@@ -824,4 +861,5 @@ def solve(
         traj_cost=st.traj_cost, merit_value=st.merit,
         num_iters=st.iters, al_iter=st.al_iter, mu_final=st.mu,
         history=st.hist,
+        history_xs=st.hist_xs, history_us=st.hist_us, history_lams=st.hist_lams,
     )

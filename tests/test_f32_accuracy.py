@@ -1,0 +1,99 @@
+"""f32 accuracy gates — the TPU-representative dtype path (SURVEY §7.2
+float64-risk item; reference gates tests/gar/riccati.cpp:84).
+
+Everything else in the suite runs f64; the TPU chip runs f32 (+ iterative
+refinement, ``riccati_refine>=1``). These tests build the flagship example
+problems in float32 and *assert* the per-config convergence targets, so a
+silent f32 convergence regression fails CI instead of only degrading
+bench.py numbers. Achieved f32 tolerances are documented in BASELINE.md."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from aligator_tpu import manifolds as M
+from aligator_tpu import costs as C
+from aligator_tpu import constraints as S
+from aligator_tpu.dynamics import LinearDiscreteDynamics
+from aligator_tpu.functions import ControlErrorResidual
+from aligator_tpu.problem import build_problem
+from aligator_tpu.solvers import ProxDDPSettings, proxddp_solve
+
+
+def _solve(problem, **kw):
+    s = ProxDDPSettings(riccati_refine=1, **kw)
+    res = jax.jit(lambda p: proxddp_solve(p, s))(problem)
+    assert res.xs.dtype == jnp.float32  # nothing silently upcast
+    return res
+
+
+def test_f32_lqr56_bounded():
+    """The bench.py workload (talos-dims LQR with control bounds) at full
+    convergence: f32 + refinement reaches tol=2e-5."""
+    from bench import _make_problem
+
+    problem = _make_problem(dtype=jnp.float32)
+    res = _solve(problem, tol=2e-5, mu_init=1e-2, max_iters=50)
+    assert bool(res.conv)
+    assert float(res.prim_infeas) <= 2e-5
+    assert float(res.dual_infeas) <= 2e-5
+
+
+def test_f32_se2_car():
+    """se2-car parking (reference bench/se2-car.cpp dims) in f32, tol=1e-4."""
+    from examples.se2_car import create_se2_problem
+
+    problem = create_se2_problem(40, dtype=jnp.float32)
+    res = _solve(problem, tol=1e-4, mu_init=1e-2, max_iters=80)
+    assert bool(res.conv)
+    assert float(res.prim_infeas) <= 1e-4
+    assert float(res.dual_infeas) <= 1e-4
+
+
+@pytest.mark.slow
+def test_f32_ur5_reach():
+    """UR5 reach (multibody free-fwd dynamics) in f32, tol=1e-4, and the
+    tool lands on the target as in the f64 run."""
+    from examples.ur5_reach import create_ur5_reach_problem
+
+    target = (0.4, 0.3, 0.4)
+    problem, model, tool = create_ur5_reach_problem(target=target, dtype=jnp.float32)
+    res = _solve(problem, tol=1e-4, mu_init=1e-2, max_iters=80)
+    assert bool(res.conv)
+    assert float(res.prim_infeas) <= 1e-4
+    assert float(res.dual_infeas) <= 1e-4
+    from aligator_tpu import multibody as mb
+
+    q = res.xs[-1][: model.nq]
+    err = np.linalg.norm(
+        np.asarray(mb.frame_placement(model, q, tool).p) - np.asarray(target)
+    )
+    assert err < 5e-2
+
+
+@pytest.mark.slow
+def test_f32_talos_walk_small():
+    """Small talos-walk (contact-constrained humanoid, N=14) in f32 — the
+    north-star workload's dtype gate (VERDICT r1 item 4). Convergence is
+    checked against the f64 solve of the same problem."""
+    from examples.talos_walk import create_walk_problem
+
+    kw = dict(tol=1e-4, mu_init=1e-8, max_iters=60)
+    p32, model = create_walk_problem(4, 2, dtype=jnp.float32)
+    res32 = _solve(p32, **kw)
+    assert bool(res32.conv)
+    assert float(res32.prim_infeas) <= 1e-4
+    assert float(res32.dual_infeas) <= 1e-4
+
+    p64, _ = create_walk_problem(4, 2, dtype=jnp.float64)
+    s64 = ProxDDPSettings(riccati_refine=1, **kw)
+    res64 = jax.jit(lambda p: proxddp_solve(p, s64))(p64)
+    assert bool(res64.conv)
+    # same optimum to f32-representable accuracy
+    assert abs(float(res32.traj_cost) - float(res64.traj_cost)) <= (
+        1e-3 * max(1.0, abs(float(res64.traj_cost)))
+    )
+    np.testing.assert_allclose(
+        np.asarray(res32.xs), np.asarray(res64.xs), atol=5e-3
+    )

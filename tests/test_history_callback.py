@@ -1,0 +1,97 @@
+"""Iterate-trace recording + user observer hook (reference HistoryCallback
+with store_primal_dual, core/history-callback.hpp:13-46, and CallbackBase /
+registerCallback, core/callback-base.hpp).
+
+Gates: (a) the recorded xs/us/lams trace ends at the returned solution and
+converges monotonically toward it; (b) the Python callback fires once per
+accepted iteration with concrete arrays; (c) the serial and stagedense LQ
+kernels produce the *same iterate trace* (convergence-trace matching — both
+factorize the same proximal KKT systems, so the Newton paths must agree)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from aligator_tpu import manifolds as M
+from aligator_tpu import costs as C
+from aligator_tpu import constraints as S
+from aligator_tpu.dynamics import LinearDiscreteDynamics
+from aligator_tpu.functions import ControlErrorResidual
+from aligator_tpu.problem import build_problem
+from aligator_tpu.solvers import ProxDDPSettings, proxddp_solve
+
+NX = NU = 3
+NSTEPS = 12
+
+
+def _problem():
+    rng = np.random.default_rng(3)
+    space = M.VectorSpace(NX)
+    x0 = jnp.asarray([0.25, -0.3, 0.1])
+    A = np.eye(NX) + 0.1 * rng.standard_normal((NX, NX))
+    B = np.eye(NX)
+    dyn = LinearDiscreteDynamics(
+        A=jnp.asarray(A), B=jnp.asarray(B), c=jnp.asarray(np.zeros(NX))
+    )
+    rcost = C.QuadraticCost.create(1e-2 * np.eye(NX), 1e-2 * np.eye(NU))
+    tcost = C.QuadraticCost.create(np.eye(NX), 1e-2 * np.eye(NU))
+    box = S.BoxConstraint(lower=(-0.15,) * NU, upper=(0.15,) * NU)
+    return build_problem(
+        space, NU, NSTEPS, x0, dyn, rcost, tcost,
+        constraints=((ControlErrorResidual(target=jnp.zeros(NU)), box, NU),),
+    )
+
+
+def test_record_iterates_trace():
+    problem = _problem()
+    s = ProxDDPSettings(tol=1e-8, mu_init=1e-2, max_iters=40,
+                        record_iterates=True, record_history=True)
+    res = jax.jit(lambda p: proxddp_solve(p, s))(problem)
+    assert bool(res.conv)
+    k = int(res.num_iters)
+    assert res.history_xs.shape == (40, NSTEPS + 1, NX)
+    assert res.history_us.shape == (40, NSTEPS, NU)
+    assert res.history_lams.shape == (40, NSTEPS + 1, NX)
+    # the last recorded iterate IS the returned solution
+    np.testing.assert_allclose(res.history_xs[k - 1], res.xs, rtol=0, atol=0)
+    np.testing.assert_allclose(res.history_us[k - 1], res.us, rtol=0, atol=0)
+    np.testing.assert_allclose(res.history_lams[k - 1], res.lams, rtol=0, atol=0)
+    # trace approaches the solution (last distance < first distance)
+    d = np.linalg.norm(
+        np.asarray(res.history_xs[:k]) - np.asarray(res.xs), axis=(1, 2)
+    )
+    assert d[-1] <= d[0]
+    # rows past num_iters stay zero (buffer untouched)
+    assert float(jnp.abs(res.history_xs[k:]).max()) == 0.0
+
+
+def test_user_callback_fires_per_iteration():
+    problem = _problem()
+    seen = []
+
+    def observer(it, xs, us, lams, prim, dual):
+        seen.append((int(it), np.asarray(xs).copy(), float(prim), float(dual)))
+
+    s = ProxDDPSettings(tol=1e-8, mu_init=1e-2, max_iters=40, callback=observer)
+    res = jax.jit(lambda p: proxddp_solve(p, s))(problem)
+    jax.effects_barrier()
+    assert bool(res.conv)
+    assert len(seen) == int(res.num_iters)
+    assert [t[0] for t in seen] == list(range(len(seen)))
+    np.testing.assert_allclose(seen[-1][1], np.asarray(res.xs))
+    assert seen[-1][3] <= 1e-8  # final dual infeasibility passed to the hook
+
+
+def test_trace_matches_across_lq_kernels():
+    problem = _problem()
+    traces = {}
+    for lq in ("serial", "stagedense"):
+        s = ProxDDPSettings(tol=1e-8, mu_init=1e-2, max_iters=40,
+                            record_iterates=True, lq_solver=lq)
+        res = jax.jit(lambda p, s=s: proxddp_solve(p, s))(problem)
+        assert bool(res.conv)
+        traces[lq] = (int(res.num_iters), np.asarray(res.history_xs))
+    k_a, xs_a = traces["serial"]
+    k_b, xs_b = traces["stagedense"]
+    assert k_a == k_b
+    np.testing.assert_allclose(xs_a[:k_a], xs_b[:k_b], atol=1e-9)
