@@ -146,11 +146,12 @@ class ConstantCost(Cost):
         return self.const
 
     def gradients(self, space, x, u):
-        return jnp.zeros(space.ndx), jnp.zeros(u.shape[-1])
+        return jnp.zeros(space.ndx, x.dtype), jnp.zeros(u.shape[-1], x.dtype)
 
     def hessians(self, space, x, u):
         ndx, nu = space.ndx, u.shape[-1]
-        return jnp.zeros((ndx, ndx)), jnp.zeros((ndx, nu)), jnp.zeros((nu, nu))
+        return (jnp.zeros((ndx, ndx), x.dtype), jnp.zeros((ndx, nu), x.dtype),
+                jnp.zeros((nu, nu), x.dtype))
 
 
 class LogResidualCost(Cost):
@@ -241,8 +242,8 @@ class CostStack(Cost):
         return total
 
     def gradients(self, space, x, u):
-        gx = jnp.zeros(space.ndx)
-        gu = jnp.zeros(u.shape[-1])
+        gx = jnp.zeros(space.ndx, x.dtype)
+        gu = jnp.zeros(u.shape[-1], x.dtype)
         for c, w in zip(self.components, self.weights):
             cx, cu = c.gradients(space, x, u)
             gx = gx + w * cx
@@ -251,9 +252,9 @@ class CostStack(Cost):
 
     def hessians(self, space, x, u):
         ndx, nu = space.ndx, u.shape[-1]
-        Hxx = jnp.zeros((ndx, ndx))
-        Hxu = jnp.zeros((ndx, nu))
-        Huu = jnp.zeros((nu, nu))
+        Hxx = jnp.zeros((ndx, ndx), x.dtype)
+        Hxu = jnp.zeros((ndx, nu), x.dtype)
+        Huu = jnp.zeros((nu, nu), x.dtype)
         for c, w in zip(self.components, self.weights):
             cxx, cxu, cuu = c.hessians(space, x, u)
             Hxx, Hxu, Huu = Hxx + w * cxx, Hxu + w * cxu, Huu + w * cuu

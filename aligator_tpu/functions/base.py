@@ -57,4 +57,4 @@ class UnaryFunction(StageFunction):
 
     def jac_u(self, space, x, u):
         nr = self.value(x, u).shape[-1]
-        return jnp.zeros((nr, u.shape[-1]))
+        return jnp.zeros((nr, u.shape[-1]), u.dtype)

@@ -37,7 +37,7 @@ class ControlErrorResidual(StageFunction):
         return u - self.target
 
     def jac_x(self, space, x, u):
-        return jnp.zeros((u.shape[-1], space.ndx))
+        return jnp.zeros((u.shape[-1], space.ndx), u.dtype)
 
     def jac_u(self, space, x, u):
         return jnp.eye(u.shape[-1], dtype=u.dtype)
@@ -73,7 +73,7 @@ class ControlBoxFunction(StageFunction):
         return jnp.concatenate([u - self.umax, self.umin - u], axis=-1)
 
     def jac_x(self, space, x, u):
-        return jnp.zeros((2 * u.shape[-1], space.ndx))
+        return jnp.zeros((2 * u.shape[-1], space.ndx), u.dtype)
 
     def jac_u(self, space, x, u):
         eye = jnp.eye(u.shape[-1], dtype=u.dtype)

@@ -350,4 +350,6 @@ def xs_default_init(problem: TrajOptProblem) -> jax.Array:
 
 
 def us_default_init(problem: TrajOptProblem) -> jax.Array:
-    return jnp.zeros((problem.nsteps, problem.nu))
+    # dtype follows the problem (x0): a default-dtype zeros here would
+    # silently promote the whole solve to f64 under jax_enable_x64.
+    return jnp.zeros((problem.nsteps, problem.nu), dtype=problem.x0.dtype)

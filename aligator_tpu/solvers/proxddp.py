@@ -123,9 +123,16 @@ class ProxDDPSettings:
     record_iterates: bool = False
     # user observer hook (reference CallbackBase / registerCallback,
     # core/callback-base.hpp): a Python callable invoked from inside the
-    # jitted solve via jax.debug.callback after every accepted iteration as
-    # callback(iter, xs, us, lams, prim_infeas, dual_infeas) with concrete
-    # numpy arrays. Side effects only — the return value is ignored.
+    # jitted solve via jax.debug.callback at every inner-loop criterion
+    # evaluation as callback(iter, xs, us, lams, prim_infeas, dual_infeas)
+    # with concrete numpy arrays. The (iterate, prim, dual) triple is
+    # coherent — all measured at the same point — and the hook observes the
+    # final (converged) point with its true dual infeasibility. It fires
+    # once per inner iteration plus once at each inner-loop exit check, so
+    # an iteration whose step is later rejected still reports its
+    # pre-step point. Side effects only — the return value is ignored.
+    # Incompatible with vmapped solves (jax.debug.callback under vmap
+    # gives unbatched, interleaved calls) — leave None when batching.
     callback: Any = None
     # misc
     mu_dyn_scale: float = 0.1  # mu_dyn() = 0.1 * mu (solver-proxddp.hpp:313)
@@ -593,6 +600,14 @@ def solve(
         st = st.replace(inner_crit=inner_crit, dual_infeas=dual_infeas,
                         conv=converged)
 
+        if s.callback is not None:
+            # coherent (point, prim, dual) at the current iterate — fires
+            # for the converged point too (the no_step exit below)
+            jax.debug.callback(
+                s.callback, st.iters, st.pt.xs, st.pt.us, st.pt.lams,
+                mult.prim_infeas, dual_infeas,
+            )
+
         def no_step(_):
             return st, data, mult, jnp.asarray(True)
 
@@ -738,12 +753,6 @@ def solve(
             hist_xs = hist_xs.at[st.iters].set(pt_f.xs)
             hist_us = hist_us.at[st.iters].set(pt_f.us)
             hist_lams = hist_lams.at[st.iters].set(pt_f.lams)
-        if s.callback is not None:
-            jax.debug.callback(
-                s.callback, st.iters, pt_f.xs, pt_f.us, pt_f.lams,
-                mult_f.prim_infeas, dual_infeas, ordered=True,
-            )
-
         st = st.replace(
             pt=pt_f,
             traj_cost=data_f.traj_cost,

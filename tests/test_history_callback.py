@@ -3,8 +3,9 @@ with store_primal_dual, core/history-callback.hpp:13-46, and CallbackBase /
 registerCallback, core/callback-base.hpp).
 
 Gates: (a) the recorded xs/us/lams trace ends at the returned solution and
-converges monotonically toward it; (b) the Python callback fires once per
-accepted iteration with concrete arrays; (c) the serial and stagedense LQ
+converges monotonically toward it; (b) the Python callback fires at every
+criterion evaluation with concrete arrays and observes the converged
+point; (c) the serial and stagedense LQ
 kernels produce the *same iterate trace* (convergence-trace matching — both
 factorize the same proximal KKT systems, so the Newton paths must agree)."""
 
@@ -61,8 +62,10 @@ def test_record_iterates_trace():
         np.asarray(res.history_xs[:k]) - np.asarray(res.xs), axis=(1, 2)
     )
     assert d[-1] <= d[0]
-    # rows past num_iters stay zero (buffer untouched)
-    assert float(jnp.abs(res.history_xs[k:]).max()) == 0.0
+    # rows past num_iters stay zero (buffer untouched); guard: the slice is
+    # empty when the solver used the whole budget
+    if k < s.max_iters:
+        assert float(jnp.abs(res.history_xs[k:]).max()) == 0.0
 
 
 def test_user_callback_fires_per_iteration():
@@ -76,10 +79,15 @@ def test_user_callback_fires_per_iteration():
     res = jax.jit(lambda p: proxddp_solve(p, s))(problem)
     jax.effects_barrier()
     assert bool(res.conv)
-    assert len(seen) == int(res.num_iters)
-    assert [t[0] for t in seen] == list(range(len(seen)))
+    # one call per inner iteration + one per inner-loop exit check
+    assert len(seen) >= int(res.num_iters)
+    its = [t[0] for t in seen]
+    assert its == sorted(its)  # non-decreasing iteration stamps
+    # the hook observes the final (converged) point with its coherent
+    # prim/dual infeasibilities (ADVICE r2: the converged exit must be seen)
     np.testing.assert_allclose(seen[-1][1], np.asarray(res.xs))
-    assert seen[-1][3] <= 1e-8  # final dual infeasibility passed to the hook
+    assert seen[-1][2] <= 1e-8
+    assert seen[-1][3] <= 1e-8
 
 
 def test_trace_matches_across_lq_kernels():
