@@ -64,6 +64,9 @@ def create_lqr_problem(bounds: bool = False, term_cstr: bool = False,
 
 
 def main():
+    from examples import force_cpu_f64
+
+    force_cpu_f64()
     ap = argparse.ArgumentParser()
     ap.add_argument("--bounds", action="store_true")
     ap.add_argument("--term-cstr", action="store_true")

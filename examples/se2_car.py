@@ -55,6 +55,9 @@ def create_se2_problem(nsteps: int, dtype=jnp.float64):
 
 
 def main():
+    from examples import force_cpu_f64
+
+    force_cpu_f64()
     problem = create_se2_problem(nsteps=40)
     settings = ProxDDPSettings(tol=1e-6, mu_init=1e-2, max_iters=100)
     res = jax.jit(lambda p: proxddp_solve(p, settings))(problem)

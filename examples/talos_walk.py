@@ -151,6 +151,9 @@ def create_walk_problem(T_ss: int = 20, T_ds: int = 10, dt: float = 0.01,
 
 
 def main():
+    from examples import force_cpu_f64
+
+    force_cpu_f64()
     T_ss, T_ds = 20, 10
     problem, model = create_walk_problem(T_ss, T_ds)
     print(f"talos-walk problem: N={problem.nsteps}, ndx={problem.ndx}, nu={problem.nu}")

@@ -55,6 +55,9 @@ def create_ur5_reach_problem(
 
 
 def main():
+    from examples import force_cpu_f64
+
+    force_cpu_f64()
     problem, model, tool = create_ur5_reach_problem()
     settings = ProxDDPSettings(tol=1e-4, mu_init=1e-2, max_iters=100)
     res = jax.jit(lambda p: proxddp_solve(p, settings))(problem)
