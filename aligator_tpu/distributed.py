@@ -1,0 +1,120 @@
+"""Multi-host runtime — the DCN/ICI scaling story (SURVEY §5.8).
+
+The reference scales with OpenMP threads on one host (threads.hpp:10-43);
+the TPU-native replacement is SPMD over a global device mesh:
+
+  * **batch axis "b"** — independent MPC scenarios, sharded across hosts
+    (DCN) first: scenario solves never communicate, so the slow
+    inter-host links carry zero solver traffic;
+  * **leg axis "t"** — horizon legs of the partitioned-condensing
+    Riccati (gar/parallel.py), kept *within* a host/ICI domain so the
+    condensed-system collectives ride ICI.
+
+Typical v5p-16 (2 hosts × 8 chips) setup::
+
+    from aligator_tpu import distributed as D
+    D.initialize()                       # per-process, env-configured
+    mesh = D.make_solver_mesh(legs=4)    # "b" spans hosts, "t" intra-host
+    solve = D.make_batch_solver(problem, settings, mesh)
+    res = solve(D.shard_batch(x0s, mesh))    # x0s: (B_global, nx)
+
+Everything here is also exercised on CPU: a 2-process Gloo-backed run
+(tests/test_multihost.py) validates the full path without TPU hardware,
+per SURVEY §4.3.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Per-process distributed init (jax.distributed.initialize).
+
+    On TPU pods all three arguments are discovered from the environment;
+    on CPU/GPU test rigs pass them explicitly (or set
+    ``JAX_COORDINATOR_ADDRESS`` / ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID``).
+    Safe to call when already initialized (no-op)."""
+    if jax.process_count() > 1:
+        return  # already initialized
+    kw = {}
+    if coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        kw["coordinator_address"] = coordinator_address or os.environ.get(
+            "JAX_COORDINATOR_ADDRESS"
+        )
+    if num_processes or os.environ.get("JAX_NUM_PROCESSES"):
+        kw["num_processes"] = num_processes or int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is not None or os.environ.get("JAX_PROCESS_ID") is not None:
+        kw["process_id"] = (
+            process_id if process_id is not None else int(os.environ["JAX_PROCESS_ID"])
+        )
+    jax.distributed.initialize(**kw)
+
+
+def make_solver_mesh(
+    legs: int = 1,
+    devices: Optional[np.ndarray] = None,
+    axis_names=("b", "t"),
+) -> Mesh:
+    """Global 2-D solver mesh: batch ("b") major, Riccati legs ("t") minor.
+
+    ``legs`` devices per leg group are taken *contiguously* so the leg
+    axis stays inside one host's ICI domain (jax.devices() orders
+    devices process-major); the batch axis spans the rest, including the
+    host boundary (DCN). legs=1 gives a pure data-parallel mesh."""
+    devs = np.asarray(devices if devices is not None else jax.devices())
+    n = devs.size
+    if n % legs != 0:
+        raise ValueError(f"device count {n} not divisible by legs={legs}")
+    if legs > max(1, len(jax.local_devices())) and jax.process_count() > 1:
+        raise ValueError(
+            "leg axis must not cross hosts: condensed-Riccati collectives "
+            f"would ride DCN (legs={legs} > {len(jax.local_devices())} "
+            "local devices)"
+        )
+    return Mesh(devs.reshape(n // legs, legs), axis_names=axis_names)
+
+
+def shard_batch(x0s, mesh: Mesh, axis: str = "b"):
+    """Shard a process-local (B_local, ...) scenario batch into a global
+    (B_global, ...) array over the mesh's batch axis. Under a single
+    process this is a plain device_put."""
+    sharding = NamedSharding(mesh, P(axis))
+    x0s = np.asarray(x0s)
+    if jax.process_count() == 1:
+        return jax.device_put(x0s, sharding)
+    global_shape = (x0s.shape[0] * jax.process_count(),) + x0s.shape[1:]
+    return jax.make_array_from_process_local_data(sharding, x0s, global_shape)
+
+
+def make_batch_solver(problem, settings, mesh: Mesh, axis: str = "b"):
+    """Jitted batched ProxDDP solve sharded over ``mesh[axis]``.
+
+    The returned callable maps a sharded (B, nx) initial-state array to
+    sharded ProxDDPResults; each scenario's solve is independent, so XLA
+    inserts no cross-scenario collectives — multi-host scaling is
+    embarrassing by construction. Set ``settings.lq_num_legs`` /
+    ``settings.lq_mesh`` to additionally shard each solve's Riccati legs
+    over the mesh's "t" axis."""
+    from aligator_tpu.solvers import proxddp_solve
+
+    sharding = NamedSharding(mesh, P(axis))
+
+    @jax.jit
+    def solve(x0s):
+        x0s = jax.lax.with_sharding_constraint(x0s, sharding)
+        return jax.vmap(
+            lambda x0: proxddp_solve(problem.replace_x0(x0), settings)
+        )(x0s)
+
+    return solve

@@ -78,9 +78,13 @@ def _pad_problem(problem: LQRProblem, num_legs: int) -> LQRProblem:
     # (LQRProblem docstring) and may hold garbage; padding turns that knot
     # into an interior stage which READS them — zero them so the appended
     # pad chain stays decoupled.
-    A = problem.A.at[N1 - 1].set(0.0)
-    B = problem.B.at[N1 - 1].set(0.0)
-    f = problem.f.at[N1 - 1].set(0.0)
+    # mask-multiply, not .at[N1-1].set: static-index scatters are dropped
+    # by the SPMD partitioner on sharding-propagated arrays (see
+    # solvers/proxddp.py _lagrangian_derivs note)
+    m = (jnp.arange(N1) != N1 - 1).astype(dt)
+    A = problem.A * m[:, None, None]
+    B = problem.B * m[:, None, None]
+    f = problem.f * m[:, None]
     return problem.replace(
         Q=cat(problem.Q, eye(nx)), S=cat(problem.S, z(nx, nu)),
         R=cat(problem.R, eye(nu)),

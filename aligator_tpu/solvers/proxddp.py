@@ -248,8 +248,12 @@ def _compute_multipliers(
     """solver-proxddp.hxx:219-318."""
     mu_dyn = s.mu_dyn_scale * mu
     lam0_plus = pt.lams[0] + data.init_err / mu
-    lams_plus = pt.lams.at[0].set(lam0_plus)
-    lams_plus = lams_plus.at[1:].set(pt.lams[1:] + data.dyn_defects / mu_dyn)
+    # concatenate, not row scatters: static-index scatters on arrays with
+    # propagated shardings are silently dropped by the SPMD partitioner
+    # when the Riccati legs are mesh-sharded (see _lagrangian_derivs note)
+    lams_plus = jnp.concatenate(
+        [lam0_plus[None], pt.lams[1:] + data.dyn_defects / mu_dyn], axis=0
+    )
 
     sp = problem.stage_set_product
     tp = problem.term_set_product
@@ -301,20 +305,33 @@ def _lagrangian_derivs(
 ):
     """core/lagrangian.hpp:28-92 → (Lxs (N+1, ndx), Lus (N, nu))."""
     N = problem.nsteps
+    # Built with pad/concatenate only — NO .at[] scatters. When the LQ
+    # legs are mesh-sharded, the SPMD partitioner silently drops
+    # static-index scatters on arrays whose shardings were propagated
+    # from the sharded Riccati outputs (observed jax 0.9, CPU and TPU:
+    # row updates vanish, so the dual residual is computed wrong and the
+    # solver stalls). Pads and concats partition correctly.
+    pad_tail = lambda a: jnp.pad(a, ((0, 1),) + ((0, 0),) * (a.ndim - 1))
+    pad_head = lambda a: jnp.pad(a, ((1, 0),) + ((0, 0),) * (a.ndim - 1))
     Lxs = derivs.Lx
     Lus = derivs.Lu
     # init constraint
-    Lxs = Lxs.at[0].add(derivs.G0.T @ lams[0])
+    Lxs = Lxs + jnp.concatenate(
+        [(derivs.G0.T @ lams[0])[None], jnp.zeros((N, Lxs.shape[1]), Lxs.dtype)], axis=0
+    )
     # dynamics coupling
-    Lxs = Lxs.at[:N].add(jnp.einsum("tij,ti->tj", derivs.A, lams[1:]))
+    Lxs = Lxs + pad_tail(jnp.einsum("tij,ti->tj", derivs.A, lams[1:]))
     Lus = Lus + jnp.einsum("tij,ti->tj", derivs.B, lams[1:])
-    Lxs = Lxs.at[1:].add(-lams[1:])
+    Lxs = Lxs + pad_head(-lams[1:])
     # path constraints
     if problem.nc:
-        Lxs = Lxs.at[:N].add(jnp.einsum("tij,ti->tj", derivs.Cx, vs))
+        Lxs = Lxs + pad_tail(jnp.einsum("tij,ti->tj", derivs.Cx, vs))
         Lus = Lus + jnp.einsum("tij,ti->tj", derivs.Cu, vs)
     if problem.nc_term:
-        Lxs = Lxs.at[N].add(derivs.Cx_term.T @ vs_term)
+        Lxs = Lxs + jnp.concatenate(
+            [jnp.zeros((N, Lxs.shape[1]), Lxs.dtype), (derivs.Cx_term.T @ vs_term)[None]],
+            axis=0,
+        )
     return Lxs, Lus
 
 
@@ -390,16 +407,29 @@ def _build_lq(
     B = jnp.concatenate([derivs.B, jnp.zeros((1, ndx, nu), dt)], axis=0)
     f = jnp.concatenate([data.dyn_defects, jnp.zeros((1, ndx), dt)], axis=0)
 
-    C = jnp.zeros((N + 1, ncp, ndx), dt)
-    D = jnp.zeros((N + 1, ncp, nu), dt)
-    d = jnp.zeros((N + 1, ncp), dt)
+    # pad/concat construction (no scatters — see _lagrangian_derivs note)
+    def rows(a, n_rows):
+        return jnp.pad(a, ((0, 0), (0, ncp - a.shape[1])) + ((0, 0),) * (a.ndim - 2)) \
+            if a.shape[1] < ncp else a
+
+    zC = jnp.zeros((1, ncp, ndx), dt)
     if nc:
-        C = C.at[:N, :nc].set(Cx_p)
-        D = D.at[:N, :nc].set(Cu_p)
-        d = d.at[:N, :nc].set(mult.Lvs)
+        C_body = rows(Cx_p, ncp)
+        D_body = rows(Cu_p, ncp)
+        d_body = jnp.pad(mult.Lvs, ((0, 0), (0, ncp - nc)))
+    else:
+        C_body = jnp.zeros((N, ncp, ndx), dt)
+        D_body = jnp.zeros((N, ncp, nu), dt)
+        d_body = jnp.zeros((N, ncp), dt)
     if nct:
-        C = C.at[N, :nct].set(CxN_p)
-        d = d.at[N, :nct].set(mult.Lvs_term)
+        C_term = jnp.pad(CxN_p, ((0, ncp - nct), (0, 0)))[None]
+        d_term = jnp.pad(mult.Lvs_term, ((0, ncp - nct),))[None]
+    else:
+        C_term = zC
+        d_term = jnp.zeros((1, ncp), dt)
+    C = jnp.concatenate([C_body, C_term], axis=0)
+    D = jnp.concatenate([D_body, jnp.zeros((1, ncp, nu), dt)], axis=0)
+    d = jnp.concatenate([d_body, d_term], axis=0)
 
     zth = jnp.zeros((N + 1, 0), dt)
     return LQRProblem(
@@ -487,7 +517,7 @@ def solve(
 
     xs0 = xs_default_init(problem) if xs_init is None else jnp.asarray(xs_init)
     us0 = us_default_init(problem) if us_init is None else jnp.asarray(us_init)
-    xs0 = xs0.at[0].set(problem.x0)
+    xs0 = jnp.concatenate([problem.x0[None], xs0[1:]], axis=0)
     dt = xs0.dtype
 
     vs0 = jnp.zeros((N, nc), dt) if vs_init is None else jnp.asarray(vs_init)
@@ -592,7 +622,14 @@ def solve(
         Lxs_c, Lus_c = _lagrangian_derivs(
             problem, derivs, st.pt.lams, st.pt.vs, st.pt.vs_term
         )
-        Lxs_c = Lxs_c.at[0].set(0.0)  # force_initial_condition (:592-594)
+        # force_initial_condition (:592-594). Mask-multiply, NOT
+        # `.at[0].set(0.0)`: when the Riccati legs are mesh-sharded, the
+        # SPMD partitioner drops static-index scatters on arrays with
+        # propagated shardings (observed on jax 0.9 CPU/TPU: the row-0
+        # zeroing silently vanished and the dual residual plateaued at
+        # the stage-0 gradient).
+        _m0 = (jnp.arange(Lxs_c.shape[0]) != 0).astype(Lxs_c.dtype)[:, None]
+        Lxs_c = Lxs_c * _m0
         inner_crit, dual_infeas = _criterion(problem, data, Lxs_c, Lus_c, mult)
 
         converged = (dual_infeas <= target_dual) & (mult.prim_infeas <= target_tol)
@@ -640,8 +677,11 @@ def solve(
         lq = _build_lq(problem, data, derivs, mult, Lxs_c, Lus_c, st.mu, preg,
                        vhp=vhp)
         (dxs, dus_full, dvs_full, dlams), gains = _solve_lq(s, lq, st.mu)
-        dxs = dxs.at[0].set(0.0)
-        dlams = dlams.at[0].set(0.0)
+        # mask-multiply instead of .at[0].set — see force_initial_condition
+        # note in inner_iteration (SPMD scatter hazard)
+        _m0 = (jnp.arange(dxs.shape[0]) != 0).astype(dxs.dtype)[:, None]
+        dxs = dxs * _m0
+        dlams = dlams * _m0
         dpt = Point(
             xs=dxs, us=dus_full[:N],
             vs=dvs_full[:N, :nc],
