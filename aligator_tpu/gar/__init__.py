@@ -28,6 +28,11 @@ from aligator_tpu.gar.stagedense import (
     solve as stagedense_solve,
 )
 from aligator_tpu.gar.assoc import solve as assoc_solve
+from aligator_tpu.gar.pallas_riccati import (
+    backward as pallas_backward,
+    forward as pallas_forward,
+    solve as pallas_solve,
+)
 
 __all__ = [
     "LQRProblem",
@@ -45,4 +50,7 @@ __all__ = [
     "StageDenseFactors",
     "stagedense_solve",
     "assoc_solve",
+    "pallas_backward",
+    "pallas_forward",
+    "pallas_solve",
 ]

@@ -66,6 +66,13 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _i32(*vals):
+    """Index-map outputs cast to int32: under jax_enable_x64 the weakly-
+    typed index arithmetic traces as i64 and Mosaic rejects the whole
+    gridded kernel with a cryptic `failed to legalize 'func.return'`."""
+    return tuple(jnp.asarray(v, jnp.int32) for v in vals)
+
+
 # ---------------------------------------------------------------------------
 # In-kernel dense solves (unrolled — n is a static Python int ≤ ~128)
 # ---------------------------------------------------------------------------
@@ -100,7 +107,8 @@ def _fwd_sub(L: jax.Array, B: jax.Array) -> jax.Array:
     Y = jnp.zeros_like(B)
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
     for j in range(n):
-        acc = jnp.sum(L[:, j, :][:, :, None] * Y, axis=1)  # (TB, m)
+        mask = (iota < j).astype(L.dtype)
+        acc = jnp.sum((L[:, j, :] * mask)[:, :, None] * Y, axis=1)  # (TB, m)
         yj = (B[:, j, :] - acc) / L[:, j, j][:, None]
         ej = (iota == j).astype(L.dtype)[0][:, None]  # (n, 1)
         Y = Y + yj[:, None, :] * ej
@@ -116,7 +124,8 @@ def _bwd_sub(L: jax.Array, B: jax.Array) -> jax.Array:
     Y = jnp.zeros_like(B)
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
     for j in range(n - 1, -1, -1):
-        acc = jnp.sum(Lt[:, j, :][:, :, None] * Y, axis=1)
+        mask = (iota > j).astype(L.dtype)
+        acc = jnp.sum((Lt[:, j, :] * mask)[:, :, None] * Y, axis=1)
         yj = (B[:, j, :] - acc) / Lt[:, j, j][:, None]
         ej = (iota == j).astype(L.dtype)[0][:, None]
         Y = Y + yj[:, None, :] * ej
@@ -160,10 +169,7 @@ def _kkt_solve(Rh, D, mu, b1, b2, refine_steps):
     nc = D.shape[-2]
     chol_R = _chol(Rh)
     Dt = jnp.swapaxes(D, -1, -2)
-    # one wide substitution chain for [R⁻¹Dᵀ | R⁻¹b1] — the unrolled
-    # solves are step-count-bound, so rhs are batched into one pass
-    joint = _cho_solve(chol_R, jnp.concatenate([Dt, b1], axis=2))
-    RiDt, Rib1 = joint[:, :, :nc], joint[:, :, nc:]
+    RiDt = _cho_solve(chol_R, Dt)  # (TB, nu, nc)
     eye = (
         jax.lax.broadcasted_iota(jnp.int32, (nc, nc), 0)
         == jax.lax.broadcasted_iota(jnp.int32, (nc, nc), 1)
@@ -171,14 +177,13 @@ def _kkt_solve(Rh, D, mu, b1, b2, refine_steps):
     S = mu[:, None, None] * eye + _bmm(D, RiDt)
     chol_S = _chol(0.5 * (S + jnp.swapaxes(S, -1, -2)))
 
-    def solve(c1, c2, Ric1=None):
-        if Ric1 is None:
-            Ric1 = _cho_solve(chol_R, c1)
+    def solve(c1, c2):
+        Ric1 = _cho_solve(chol_R, c1)
         z = _cho_solve(chol_S, _bmm(D, Ric1) - c2)
         k = Ric1 - _bmm(RiDt, z)
         return k, z
 
-    k, z = solve(b1, b2, Ric1=Rib1)
+    k, z = solve(b1, b2)
     for _ in range(refine_steps):
         r1 = b1 - (_bmm(Rh, k) + _bmm(Dt, z))
         r2 = b2 - (_bmm(D, k) - mu[:, None, None] * z)
@@ -283,6 +288,19 @@ def backward_sweep_batched(
     if knots.Gth.shape[-1] != 0:
         raise NotImplementedError("pallas riccati: θ-blocks (nth>0) use the jnp path")
     dt = knots.Q.dtype
+    if nc == 0:
+        # Mosaic rejects zero-width blocks: pad one all-zero constraint row
+        # (D = C = d = 0 → z ≡ 0, gains unchanged — exact padding)
+        knots = knots._replace(
+            C=jnp.zeros((Bsz, L, 1, nx), dt),
+            D=jnp.zeros((Bsz, L, 1, nu), dt),
+            d=jnp.zeros((Bsz, L, 1), dt),
+        )
+        gains, vms = backward_sweep_batched(knots, mueq, refine_steps, tb)
+        return gains._replace(
+            zff=gains.zff[:, :, :0], Z=gains.Z[:, :, :0],
+            Zth=gains.Zth[:, :, :0],
+        ), vms
     tb = tb or _pick_tb(Bsz)
     nbt = Bsz // tb
     nmax = max(nx, nu, nc)
@@ -296,11 +314,13 @@ def backward_sweep_batched(
     def in_spec(*shape):
         return pl.BlockSpec(
             (tb, None) + shape,
-            lambda bt, k: (bt, L - 1 - k) + (0,) * len(shape),
+            lambda bt, k: _i32(bt, L - 1 - k, *(0,) * len(shape)),
             memory_space=pltpu.VMEM,
         )
 
-    mu_spec = pl.BlockSpec((tb, 1, 1), lambda bt, k: (bt, 0, 0), memory_space=pltpu.VMEM)
+    mu_spec = pl.BlockSpec(
+        (tb, 1, 1), lambda bt, k: _i32(bt, 0, 0), memory_space=pltpu.VMEM
+    )
 
     out_shapes = [
         jax.ShapeDtypeStruct((Bsz, L, nu, nx), dt),   # K
@@ -415,6 +435,14 @@ def forward_sweep_batched(
     nu, nx = gains.K.shape[-2], gains.K.shape[-1]
     nc = gains.Z.shape[-2]
     dt = gains.K.dtype
+    if nc == 0:
+        # zero-width blocks are rejected by Mosaic — pad one zero
+        # constraint row (v ≡ 0) and slice it back off
+        gains = gains._replace(
+            zff=jnp.zeros((Bsz, L, 1), dt), Z=jnp.zeros((Bsz, L, 1, nx), dt)
+        )
+        xs, us, vs, lbds = forward_sweep_batched(gains, vms, x0, lbd0, tb)
+        return xs, us, vs[:, :, :0], lbds
     tb = tb or _pick_tb(Bsz)
     nbt = Bsz // tb
     nmax = max(nx, nu, nc)
@@ -428,12 +456,12 @@ def forward_sweep_batched(
     def t_spec(*shape):
         return pl.BlockSpec(
             (tb, None) + shape,
-            lambda bt, k: (bt, k) + (0,) * len(shape),
+            lambda bt, k: _i32(bt, k, *(0,) * len(shape)),
             memory_space=pltpu.VMEM,
         )
 
     x0_spec = pl.BlockSpec(
-        (tb, 2, nx), lambda bt, k: (bt, 0, 0), memory_space=pltpu.VMEM
+        (tb, 2, nx), lambda bt, k: _i32(bt, 0, 0), memory_space=pltpu.VMEM
     )
 
     out = pl.pallas_call(

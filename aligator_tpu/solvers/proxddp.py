@@ -482,6 +482,14 @@ def _solve_lq(s: ProxDDPSettings, lq: LQRProblem, mu):
                 lq, mu, refine_steps=s.riccati_refine
             )
             return (xs, us, vs, lbds), factors.gains
+        if s.lq_solver == "pallas":
+            # fused single-launch Riccati sweeps (gar/pallas_riccati.py) —
+            # the TPU fast path for (batched) serial solves; falls back to
+            # interpret mode off-TPU so CI exercises the same code
+            from aligator_tpu.gar import pallas_riccati as _pallas
+
+            factors = _pallas.backward(lq, mu, refine_steps=s.riccati_refine)
+            return _pallas.forward(lq, factors), factors.gains
         factors = _riccati.backward(lq, mu, refine_steps=s.riccati_refine)
         return _riccati.forward(lq, factors), factors.gains
 

@@ -5,6 +5,11 @@ Talos dims nx=56, nu=22, fixed 2 solver iterations, and the BASELINE.md
 north-star metric "MPC solves/sec/chip at horizon N=100"): batched ProxDDP
 solves of a constrained LQR-class problem, f32 on the TPU chip.
 
+The headline value is the best (batch, lq_solver) config from a sweep
+over batch ∈ {64, 256, 1024} × lq_solver ∈ {serial, pallas}; the full
+sweep, the achieved TFLOP/s, and the MFU (vs the v5e bf16 MXU peak)
+are reported in "details" (VERDICT r2 item 2).
+
 Baseline: the reference publishes no numbers and cannot be built here
 (no Eigen/fmt/google-benchmark in the image, 2 CPU cores) — see
 BASELINE.md. The stand-in baseline is a faithful single-thread numpy f64
@@ -38,9 +43,14 @@ from aligator_tpu.solvers import ProxDDPSettings, proxddp_solve
 
 NX = 56  # Talos-reduced ndx (SURVEY §8.4)
 NU = 22
+NC = 22
 NSTEPS = 100
-BATCH = 64
 SOLVER_ITERS = 2  # bench/lqr.cpp:38 max_iters=2
+BATCHES = (64, 256, 1024)
+LQ_SOLVERS = ("serial", "pallas")
+# v5e MXU peak (bf16); f32 passes run at a fraction of this — MFU against
+# it is the honest "fraction of the chip" number
+V5E_BF16_PEAK = 197e12
 
 
 def _make_problem(dtype=jnp.float32):
@@ -67,28 +77,59 @@ def _make_problem(dtype=jnp.float32):
     return problem
 
 
-def bench_tpu():
-    problem = _make_problem()
+def _riccati_flops_per_solve(refine: int = 1) -> float:
+    """Analytic FLOP count of SOLVER_ITERS Riccati backward+forward sweeps
+    (the same work the numpy baseline is charged for) — the MFU basis."""
+    nx, nu, nc, m = NX, NU, NC, 1 + NX
+    bwd = (
+        4 * nx**3                      # AtV, Qhat
+        + 4 * nx**2 * nu + 2 * nx * nu**2   # BtV, Shat, Rhat
+        + 4 * nx**2 + 2 * nx * nu      # vplus, qhat, rhat
+        + nu**3 / 3 + 2 * nu**2 * nc + 2 * nc**2 * nu + nc**3 / 3  # factor
+        + (2 + 2 * refine) * (2 * nu**2 + 2 * nc**2 + 4 * nu * nc) * m  # solves
+        + 2 * refine * (nu + nc) ** 2 * m    # refinement matvecs
+        + 2 * nx * nu * nx + 2 * nx * nc * nx + 4 * nx**2  # Vxx, vx, Acl
+    )
+    fwd = 2 * (nx**2 + nu * nx + nc * nx + nx**2)
+    return SOLVER_ITERS * (NSTEPS + 1) * (bwd + fwd)
+
+
+def _bench_config(problem, batch: int, lq_solver: str):
     settings = ProxDDPSettings(
         tol=1e-7, mu_init=1e-2, max_iters=SOLVER_ITERS, max_al_iters=SOLVER_ITERS,
+        lq_solver=lq_solver,
     )
     rng = np.random.default_rng(1)
-    x0s = jnp.asarray(0.1 * rng.standard_normal((BATCH, NX)), jnp.float32)
-
+    x0s = jnp.asarray(0.1 * rng.standard_normal((batch, NX)), jnp.float32)
     solve = jax.jit(
         jax.vmap(lambda x0: proxddp_solve(problem.replace_x0(x0), settings))
     )
-    # warm-up / compile
     res = solve(x0s)
     jax.block_until_ready(res.xs)
-
     n_rep = 5
     t0 = time.perf_counter()
-    for i in range(n_rep):
+    for _ in range(n_rep):
         res = solve(x0s)
-        jax.block_until_ready(res.xs)
+    jax.block_until_ready(res.xs)
     dt = (time.perf_counter() - t0) / n_rep
-    return BATCH / dt, float(jnp.mean(res.prim_infeas))
+    return batch / dt, float(jnp.mean(res.prim_infeas))
+
+
+def bench_tpu():
+    problem = _make_problem()
+    sweep = {}
+    best = (0.0, None)
+    for lq_solver in LQ_SOLVERS:
+        for batch in BATCHES:
+            try:
+                rate, prim = _bench_config(problem, batch, lq_solver)
+            except Exception as e:  # OOM etc. — record and continue
+                sweep[f"{lq_solver}_b{batch}"] = f"failed: {type(e).__name__}"
+                continue
+            sweep[f"{lq_solver}_b{batch}"] = round(rate, 1)
+            if rate > best[0]:
+                best = (rate, f"{lq_solver}_b{batch}")
+    return best, sweep
 
 
 # ---------------------------------------------------------------------------
@@ -184,13 +225,22 @@ def bench_cpu_baseline():
 
 
 def main():
-    tpu_rate, prim = bench_tpu()
+    (tpu_rate, best_cfg), sweep = bench_tpu()
     cpu_rate = bench_cpu_baseline()
+    flops = _riccati_flops_per_solve()
+    tflops = tpu_rate * flops / 1e12
     out = {
         "metric": "mpc_lqr56_n100_solves_per_sec_chip",
         "value": round(tpu_rate, 3),
         "unit": "solves/s",
         "vs_baseline": round(tpu_rate / cpu_rate, 3),
+        "details": {
+            "best_config": best_cfg,
+            "sweep_solves_per_sec": sweep,
+            "riccati_tflops_per_sec": round(tflops, 3),
+            "mfu_vs_v5e_bf16_peak": round(tflops / (V5E_BF16_PEAK / 1e12), 5),
+            "numpy_f64_baseline_solves_per_sec": round(cpu_rate, 3),
+        },
     }
     print(json.dumps(out))
 

@@ -117,3 +117,89 @@ def test_spec_integrator_schemes():
     # RK4 of ẋ=−x over dt=0.1 ≈ e^{−0.1} per step
     ratio = float(xs[1][0] / xs[0][0])
     np.testing.assert_allclose(ratio, np.exp(-0.1), atol=1e-7)
+
+
+def test_spec_round_trip_se2_car():
+    """The se2-car baseline config expressed as a pure-JSON spec solves to
+    the same optimum as the hand-built example (VERDICT r2 item 7)."""
+    import json
+    from examples.se2_car import create_se2_problem
+    from aligator_tpu.solvers import ProxDDPSettings, proxddp_solve
+
+    ts = 0.05
+    theta = 0.15355
+    spec = {
+        "space": {"type": "se2"},
+        "nu": 2, "nsteps": 40,
+        "x0": [0.7, -0.1, float(np.cos(theta)), float(np.sin(theta))],
+        "dynamics": {"type": "integrator", "scheme": "euler", "dt": ts,
+                     "ode": {"type": "unicycle"}},
+        "cost": {"type": "stack", "components": [
+            [{"type": "quad_state", "target": [0, 0, 1, 0],
+              "W": (0.01 * ts * np.eye(3)).tolist()}, 1.0],
+            [{"type": "quad_control", "target": [0, 0],
+              "W": (ts * np.eye(2)).tolist()}, 1.0],
+        ]},
+        "term_cost": {"type": "quad_state", "target": [0, 0, 1, 0],
+                      "W": (0.1 * np.eye(3)).tolist()},
+    }
+    prob_spec = problem_from_spec(json.dumps(spec))
+    prob_ref = create_se2_problem(40)
+
+    s = ProxDDPSettings(tol=1e-6, mu_init=1e-2, max_iters=100)
+    solve = jax.jit(lambda p: proxddp_solve(p, s))
+    res_a, res_b = solve(prob_spec), solve(prob_ref)
+    assert bool(res_a.conv) and bool(res_b.conv)
+    np.testing.assert_allclose(
+        np.asarray(res_a.xs), np.asarray(res_b.xs), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(res_a.traj_cost), float(res_b.traj_cost), rtol=1e-8
+    )
+
+
+def test_spec_round_trip_ur5_reach():
+    """The ur5_reach baseline config (multibody free-fwd dynamics +
+    frame-translation terminal cost) as a JSON spec matches the example."""
+    import json
+    from examples.ur5_reach import create_ur5_reach_problem
+    from aligator_tpu.solvers import ProxDDPSettings, proxddp_solve
+    from aligator_tpu import multibody as mb
+
+    nsteps, dt, target = 40, 0.02, (0.4, 0.3, 0.4)
+    prob_ref, model, tool = create_ur5_reach_problem(
+        nsteps=nsteps, dt=dt, target=target
+    )
+    nv = model.nv
+    x0 = np.concatenate([np.asarray(model.neutral_q()), np.zeros(nv)])
+    w_x = np.diag([0.1] * nv + [1.0] * nv) * 1e-2
+    spec = {
+        "model": {"type": "serial_chain", "n_links": 6},
+        "space": {"type": "multibody_phase"},
+        "nu": nv, "nsteps": nsteps, "x0": x0.tolist(),
+        "dynamics": {"type": "integrator", "scheme": "semi_euler", "dt": dt,
+                     "ode": {"type": "multibody_free_fwd", "actuation": "full"}},
+        "cost": {"type": "stack", "components": [
+            [{"type": "quad_state", "target": x0.tolist(),
+              "W": (w_x * dt).tolist()}, 1.0],
+            [{"type": "quad_control", "target": [0.0] * nv,
+              "W": (1e-4 * dt * np.eye(nv)).tolist()}, 1.0],
+        ]},
+        "term_cost": {"type": "stack", "components": [
+            [{"type": "quad_residual",
+              "residual": {"type": "frame_translation", "frame": "tool0",
+                           "ref": list(target)},
+              "W": (100.0 * np.eye(3)).tolist()}, 1.0],
+            [{"type": "quad_state", "target": x0.tolist(),
+              "W": np.diag([0.0] * nv + [1.0] * nv).tolist()}, 0.1],
+        ]},
+    }
+    prob_spec = problem_from_spec(json.dumps(spec))
+
+    s = ProxDDPSettings(tol=1e-4, mu_init=1e-2, max_iters=100)
+    solve = jax.jit(lambda p: proxddp_solve(p, s))
+    res_a, res_b = solve(prob_spec), solve(prob_ref)
+    assert bool(res_a.conv) and bool(res_b.conv)
+    np.testing.assert_allclose(
+        np.asarray(res_a.xs), np.asarray(res_b.xs), atol=1e-6
+    )
