@@ -67,6 +67,7 @@ from aligator_tpu.gar.riccati import (
     knots_of,
 )
 from aligator_tpu.linalg.schur import kkt_solve_refined
+from aligator_tpu.utils.profiling import named_scope
 
 
 class _Element(NamedTuple):
@@ -177,6 +178,7 @@ def cost_to_go_scan(knots: Knot, mueq) -> CostToGo:
     )
 
 
+@named_scope("gar.assoc.backward")
 def backward(
     problem: LQRProblem, mueq, mudyn=0.0, refine_steps: int = 1
 ) -> RiccatiFactors:

@@ -57,6 +57,7 @@ from aligator_tpu.gar.riccati import (
     knots_of,
 )
 from aligator_tpu.linalg.schur import kkt_solve_refined
+from aligator_tpu.utils.profiling import named_scope
 
 _F32 = jnp.float32
 
@@ -275,6 +276,7 @@ def _pick_tb(bsz: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("refine_steps", "tb"))
+@named_scope("gar.pallas.backward")
 def backward_sweep_batched(
     knots: Knot, mueq: jax.Array, refine_steps: int = 1, tb: Optional[int] = None
 ):
@@ -422,6 +424,7 @@ def _forward_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("tb",))
+@named_scope("gar.pallas.forward")
 def forward_sweep_batched(
     gains: Gains, vms: CostToGo, x0: jax.Array, lbd0: jax.Array,
     tb: Optional[int] = None,

@@ -54,6 +54,7 @@ from aligator_tpu.gar.riccati import (
 )
 from aligator_tpu.linalg.block_tridiag import block_tridiag_solve_refined
 from aligator_tpu.linalg.schur import kkt_solve_refined
+from aligator_tpu.utils.profiling import named_scope
 
 
 def _pad_problem(problem: LQRProblem, num_legs: int) -> LQRProblem:
@@ -149,6 +150,7 @@ def _condensed_blocks(problem: LQRProblem, summ, num_legs: int):
     return diag, sup, rhs
 
 
+@named_scope("gar.parallel.solve")
 def parallel_solve(
     problem: LQRProblem,
     mueq,

@@ -31,6 +31,7 @@ from flax import struct
 
 from aligator_tpu.gar.lqr_problem import LQRProblem
 from aligator_tpu.linalg.schur import kkt_factor, kkt_solve_refined
+from aligator_tpu.utils.profiling import named_scope
 
 
 class Knot(NamedTuple):
@@ -185,6 +186,7 @@ def _stage_solve(
     return vm, gains
 
 
+@named_scope("gar.riccati.backward_sweep")
 def backward_sweep(
     knots: Knot, mueq, refine_steps: int = 1
 ) -> tuple[Gains, CostToGo]:
@@ -212,6 +214,7 @@ def backward_sweep(
     return gains, vms
 
 
+@named_scope("gar.riccati.forward_sweep")
 def forward_sweep(
     knots: Knot,
     gains: Gains,

@@ -40,6 +40,7 @@ from flax import struct
 
 from aligator_tpu.gar.lqr_problem import LQRProblem
 from aligator_tpu.gar.riccati import CostToGo, Gains, Knot, knots_of
+from aligator_tpu.utils.profiling import named_scope
 
 
 class StageDenseFactor(NamedTuple):
@@ -179,6 +180,7 @@ def _stage_solve(knot: Knot, vn: CostToGo, mueq) -> tuple[CostToGo, StageDenseFa
     return vm, fac
 
 
+@named_scope("gar.stagedense.backward")
 def backward(problem: LQRProblem, mueq, mudyn=0.0) -> StageDenseFactors:
     """Reverse scan of stage KKT solves + the initial [[Pxx₀, G0ᵀ],[G0, 0]]
     system (dense-riccati.hxx:46-92)."""

@@ -40,6 +40,7 @@ from aligator_tpu.multibody.spatial import (
     motion_cross_force,
     Inertia,
 )
+from aligator_tpu.utils.profiling import named_scope
 
 
 def _joint_q(model: MultibodyModel, q: jax.Array, i: int) -> jax.Array:
@@ -79,6 +80,7 @@ def frame_placement(model: MultibodyModel, q: jax.Array, fid: int) -> SE3T:
     return se3_mul(oM[f.parent_joint], SE3T(model.frame_R[fid], model.frame_p[fid]))
 
 
+@named_scope("multibody.rnea")
 def rnea(
     model: MultibodyModel,
     q: jax.Array,
@@ -186,6 +188,7 @@ def _inertia_compose(a: Inertia, b: Inertia) -> Inertia:
     )
 
 
+@named_scope("multibody.crba")
 def crba(model: MultibodyModel, q: jax.Array) -> jax.Array:
     """Composite rigid-body algorithm: M(q) via composite inertias — the
     same algorithm the reference reaches through pinocchio::crba. No
@@ -240,6 +243,7 @@ def mass_matrix(model: MultibodyModel, q: jax.Array) -> jax.Array:
     return crba(model, q)
 
 
+@named_scope("multibody.aba")
 def aba(
     model: MultibodyModel,
     q: jax.Array,

@@ -27,6 +27,7 @@ from flax import struct
 from aligator_tpu.manifolds.base import Manifold
 from aligator_tpu.constraints import ConstraintSet, ConstraintSetProduct
 from aligator_tpu.functions.basic import StateErrorResidual
+from aligator_tpu.utils.profiling import named_scope
 
 
 class TrajOptProblem(struct.PyTreeNode):
@@ -163,6 +164,7 @@ def _stage_cstr_values(problem: TrajOptProblem, cstrs, x, u):
     return jnp.concatenate([f.value(x, u) for f in cstrs], axis=-1)
 
 
+@named_scope("problem.evaluate")
 def evaluate(problem: TrajOptProblem, xs: jax.Array, us: jax.Array) -> ProblemData:
     """Evaluate costs, dynamics defects and constraints along (xs, us).
     xs: (N+1, nx), us: (N, nu). The stage loop is a single vmap
@@ -193,6 +195,7 @@ def evaluate(problem: TrajOptProblem, xs: jax.Array, us: jax.Array) -> ProblemDa
     )
 
 
+@named_scope("problem.derivatives")
 def compute_derivatives(
     problem: TrajOptProblem, xs: jax.Array, us: jax.Array
 ) -> ProblemDerivs:

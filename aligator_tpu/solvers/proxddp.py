@@ -53,6 +53,7 @@ from aligator_tpu.problem import (
     xs_default_init,
     us_default_init,
 )
+from aligator_tpu.utils.profiling import named_scope
 
 
 @dataclasses.dataclass(frozen=True)
@@ -241,6 +242,7 @@ def _inf(a):
 # ---------------------------------------------------------------------------
 
 
+@named_scope("proxddp.multipliers")
 def _compute_multipliers(
     problem: TrajOptProblem, s: ProxDDPSettings, data: ProblemData, pt: Point,
     prev_vs, prev_vs_term, mu,
@@ -300,6 +302,7 @@ def _merit(s: ProxDDPSettings, data: ProblemData, mult: Multipliers, mu):
     return data.traj_cost + pen
 
 
+@named_scope("proxddp.lagrangian")
 def _lagrangian_derivs(
     problem: TrajOptProblem, derivs: ProblemDerivs, lams, vs, vs_term
 ):
@@ -347,6 +350,7 @@ def _criterion(problem, data: ProblemData, Lxs, Lus, mult: Multipliers):
     return inner_crit, dual_infeas
 
 
+@named_scope("proxddp.lq_update")
 def _build_lq(
     problem: TrajOptProblem,
     data: ProblemData,
