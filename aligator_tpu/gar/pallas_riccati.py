@@ -108,8 +108,7 @@ def _fwd_sub(L: jax.Array, B: jax.Array) -> jax.Array:
     Y = jnp.zeros_like(B)
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
     for j in range(n):
-        mask = (iota < j).astype(L.dtype)
-        acc = jnp.sum((L[:, j, :] * mask)[:, :, None] * Y, axis=1)  # (TB, m)
+        acc = jnp.sum(L[:, j, :][:, :, None] * Y, axis=1)  # (TB, m)
         yj = (B[:, j, :] - acc) / L[:, j, j][:, None]
         ej = (iota == j).astype(L.dtype)[0][:, None]  # (n, 1)
         Y = Y + yj[:, None, :] * ej
@@ -125,8 +124,7 @@ def _bwd_sub(L: jax.Array, B: jax.Array) -> jax.Array:
     Y = jnp.zeros_like(B)
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
     for j in range(n - 1, -1, -1):
-        mask = (iota > j).astype(L.dtype)
-        acc = jnp.sum((Lt[:, j, :] * mask)[:, :, None] * Y, axis=1)
+        acc = jnp.sum(Lt[:, j, :][:, :, None] * Y, axis=1)
         yj = (B[:, j, :] - acc) / Lt[:, j, j][:, None]
         ej = (iota == j).astype(L.dtype)[0][:, None]
         Y = Y + yj[:, None, :] * ej
@@ -170,7 +168,10 @@ def _kkt_solve(Rh, D, mu, b1, b2, refine_steps):
     nc = D.shape[-2]
     chol_R = _chol(Rh)
     Dt = jnp.swapaxes(D, -1, -2)
-    RiDt = _cho_solve(chol_R, Dt)  # (TB, nu, nc)
+    # one wide substitution chain for [R⁻¹Dᵀ | R⁻¹b1] — the unrolled
+    # solves are step-count-bound, so rhs are batched into one pass
+    joint = _cho_solve(chol_R, jnp.concatenate([Dt, b1], axis=2))
+    RiDt, Rib1 = joint[:, :, :nc], joint[:, :, nc:]
     eye = (
         jax.lax.broadcasted_iota(jnp.int32, (nc, nc), 0)
         == jax.lax.broadcasted_iota(jnp.int32, (nc, nc), 1)
@@ -178,13 +179,14 @@ def _kkt_solve(Rh, D, mu, b1, b2, refine_steps):
     S = mu[:, None, None] * eye + _bmm(D, RiDt)
     chol_S = _chol(0.5 * (S + jnp.swapaxes(S, -1, -2)))
 
-    def solve(c1, c2):
-        Ric1 = _cho_solve(chol_R, c1)
+    def solve(c1, c2, Ric1=None):
+        if Ric1 is None:
+            Ric1 = _cho_solve(chol_R, c1)
         z = _cho_solve(chol_S, _bmm(D, Ric1) - c2)
         k = Ric1 - _bmm(RiDt, z)
         return k, z
 
-    k, z = solve(b1, b2)
+    k, z = solve(b1, b2, Ric1=Rib1)
     for _ in range(refine_steps):
         r1 = b1 - (_bmm(Rh, k) + _bmm(Dt, z))
         r2 = b2 - (_bmm(D, k) - mu[:, None, None] * z)
