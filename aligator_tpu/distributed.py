@@ -44,8 +44,14 @@ def initialize(
     On TPU pods all three arguments are discovered from the environment;
     on CPU/GPU test rigs pass them explicitly (or set
     ``JAX_COORDINATOR_ADDRESS`` / ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID``).
-    Safe to call when already initialized (no-op)."""
-    if jax.process_count() > 1:
+    Safe to call when already initialized (no-op).
+
+    NOTE: must run before anything initializes the XLA backend — so the
+    guard here is ``jax.distributed.is_initialized()``, which does NOT
+    touch the backend (calling e.g. ``jax.process_count()`` here would
+    initialize XLA and make ``jax.distributed.initialize`` below always
+    raise; ADVICE r3 finding, reproduced on jax 0.9)."""
+    if jax.distributed.is_initialized():
         return  # already initialized
     kw = {}
     if coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS"):

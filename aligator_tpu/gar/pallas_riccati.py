@@ -277,6 +277,17 @@ def _pick_tb(bsz: int) -> int:
     return 1
 
 
+def _check_tb(bsz: int, tb: int) -> None:
+    """An explicit tile that does not divide the batch would silently
+    truncate the grid (trailing rows uninitialized) — hard error instead
+    (ADVICE r3 medium finding)."""
+    if bsz % tb != 0:
+        raise ValueError(
+            f"batch size {bsz} is not divisible by batch tile tb={tb}; "
+            "pass a divisor (or tb=None to auto-pick)"
+        )
+
+
 @functools.partial(jax.jit, static_argnames=("refine_steps", "tb"))
 @named_scope("gar.pallas.backward")
 def backward_sweep_batched(
@@ -306,6 +317,7 @@ def backward_sweep_batched(
             Zth=gains.Zth[:, :, :0],
         ), vms
     tb = tb or _pick_tb(Bsz)
+    _check_tb(Bsz, tb)
     nbt = Bsz // tb
     nmax = max(nx, nu, nc)
     mu3 = mueq.astype(dt).reshape(Bsz, 1, 1)
@@ -449,6 +461,7 @@ def forward_sweep_batched(
         xs, us, vs, lbds = forward_sweep_batched(gains, vms, x0, lbd0, tb)
         return xs, us, vs[:, :, :0], lbds
     tb = tb or _pick_tb(Bsz)
+    _check_tb(Bsz, tb)
     nbt = Bsz // tb
     nmax = max(nx, nu, nc)
 

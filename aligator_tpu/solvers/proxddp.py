@@ -146,8 +146,11 @@ class ProxDDPSettings:
     # subproblems); "dense_oracle" solves the monolithic dense KKT
     # (gar/dense.py — an O((N·n)³) test oracle); "assoc" is the log-depth
     # associative-scan Riccati (gar/assoc.py — no reference analogue; best
-    # single-instance latency on long horizons).
-    lq_solver: str = "serial"  # "serial"|"parallel"|"stagedense"|"dense_oracle"|"assoc"
+    # single-instance latency on long horizons); "pallas" is the fused
+    # single-launch TPU kernel (gar/pallas_riccati.py — nth==0 only,
+    # gains available for the nonlinear rollout; the batched-MPC fast
+    # path on chip).
+    lq_solver: str = "serial"  # serial|parallel|stagedense|dense_oracle|assoc|pallas
     # parallel (partitioned-condensing) LQ solver: number of legs; 0 = serial
     lq_num_legs: int = 0
     lq_mesh: Any = None
