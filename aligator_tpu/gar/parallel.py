@@ -208,7 +208,7 @@ def parallel_solve(
     sol = block_tridiag_solve_refined(diag, sup, rhs, refine_steps=condensed_refine)
 
     # scatter: x at leg starts, λ at leg starts, θ per leg
-    lbd0 = jnp.zeros((nx,), dt).at[: problem.nc0].set(sol[0])
+    lbd0 = jnp.pad(sol[0], (0, nx - problem.nc0))  # pad, not scatter (252be30)
     x_begs = jnp.stack([sol[2 * i + 1] for i in range(J)])  # (J, nx)
     lbd_begs = jnp.stack([lbd0] + [sol[2 * i] for i in range(1, J)])  # (J, nx)
     thetas = jnp.stack(

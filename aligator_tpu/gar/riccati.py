@@ -304,7 +304,10 @@ def forward(
 
     x0 = factors.x0 + factors.x0_th @ th
     lbd0 = factors.lbd0 + factors.lbd0_th @ th
-    lbd0 = jnp.zeros((nx,), dt).at[:nc0].set(lbd0)
+    # pad, not `.at[:nc0].set`: static-index scatters in jitted solver
+    # loops are miscompiled by this XLA:CPU build (see 252be30 / the
+    # force-initial-condition note in solvers/proxddp.py)
+    lbd0 = jnp.pad(lbd0, (0, nx - nc0))
 
     return forward_sweep(knots_of(problem), factors.gains, factors.vm, x0, lbd0, th)
 

@@ -4,6 +4,7 @@ from aligator_tpu.solvers.proxddp import (
     ProxDDPSettings,
     ProxDDPResults,
     solve as proxddp_solve,
+    solve_checked as proxddp_solve_checked,
 )
 from aligator_tpu.solvers.fddp import (
     FDDPSettings,
@@ -15,6 +16,7 @@ __all__ = [
     "ProxDDPSettings",
     "ProxDDPResults",
     "proxddp_solve",
+    "proxddp_solve_checked",
     "FDDPSettings",
     "FDDPResults",
     "fddp_solve",

@@ -138,6 +138,15 @@ class ProxDDPSettings:
     # misc
     mu_dyn_scale: float = 0.1  # mu_dyn() = 0.1 * mu (solver-proxddp.hpp:313)
     riccati_refine: int = 1
+    # debug mode (reference ALIGATOR_RAISE_IF_NAN, fwd.hpp:19-25 and
+    # solver-proxddp.hxx:641): when True, checkify.check guards are traced
+    # at the reference's raise points — problem evaluation at the accepted
+    # iterate, AL multiplier estimates, the Riccati direction — so a
+    # NaN-poisoned solve reports the *first poisoned site* instead of just
+    # conv=False. Requires running through ``solve_checked`` (or wrapping
+    # with jax.experimental.checkify yourself); off the hot path entirely
+    # when False (no checks are traced).
+    debug: bool = False
     # LQ solver choice (reference LQSolverChoice: LQ_SOLVER_SERIAL /
     # PARALLEL / STAGEDENSE). "parallel" additionally needs lq_num_legs>1
     # (and optionally a mesh for sharded legs); "stagedense" is the O(N)
@@ -240,6 +249,18 @@ class _State:
 
 def _inf(a):
     return jnp.max(jnp.abs(a)) if a.size else jnp.asarray(0.0, a.dtype)
+
+
+def _debug_check(site: str, *arrays):
+    """NaN/Inf guard at a reference raise point (ALIGATOR_RAISE_IF_NAN,
+    fwd.hpp:19-25). Only traced when settings.debug is True."""
+    from jax.experimental import checkify
+
+    finite = jnp.asarray(True)
+    for a in arrays:
+        if a.size:
+            finite = finite & jnp.all(jnp.isfinite(a))
+    checkify.check(finite, f"NaN/Inf detected at: {site}")
 
 
 # ---------------------------------------------------------------------------
@@ -589,7 +610,13 @@ def solve(
     def try_step(pt: Point, dpt: Point, alpha):
         """tryLinearStep (:111-155): manifold step x ⊕ α dx."""
         xs = jax.vmap(problem.space.integrate)(pt.xs, alpha * dpt.xs)
-        xs = xs.at[0].set(pt.xs[0])  # force initial condition (dxs[0]=0)
+        # force initial condition (dxs[0]=0). concatenate, NOT
+        # `.at[0].set`: static-index scatters inside the solver
+        # while-loop are miscompiled by this XLA:CPU build depending on
+        # carry buffer shapes (observed jax 0.9: the row-0 restore was
+        # dropped in some compilations, stalling the solver; flipping
+        # record_history toggled it) — same bug class as 252be30.
+        xs = jnp.concatenate([pt.xs[:1], xs[1:]], axis=0)
         return Point(
             xs=xs,
             us=pt.us + alpha * dpt.us,
@@ -632,6 +659,23 @@ def solve(
         mirroring the reference's early return at :598-601."""
         with jax.named_scope("proxddp.derivatives"):
             derivs = _compute_derivatives(problem, st.pt.xs, st.pt.us)
+
+        if s.debug:
+            # reference raise sites: rollout NaN (solver-proxddp.hxx:641)
+            # and computeMultipliers NaN (:547-550)
+            _debug_check(
+                "problem evaluation at accepted iterate "
+                "(dynamics rollout / cost)",
+                st.pt.xs, data.traj_cost, data.dyn_defects,
+            )
+            _debug_check(
+                "problem derivatives (dynamics/cost Jacobians)",
+                derivs.A, derivs.B, derivs.Lx,
+            )
+            _debug_check(
+                "AL multiplier estimates (computeMultipliers)",
+                mult.lams_plus, mult.vs_plus,
+            )
 
         # criterion at current multipliers
         Lxs_c, Lus_c = _lagrangian_derivs(
@@ -692,6 +736,12 @@ def solve(
         lq = _build_lq(problem, data, derivs, mult, Lxs_c, Lus_c, st.mu, preg,
                        vhp=vhp)
         (dxs, dus_full, dvs_full, dlams), gains = _solve_lq(s, lq, st.mu)
+        if s.debug:
+            # reference: Bunch-Kaufman failure throws in the Riccati
+            # factor (riccati-kernel.hxx:239-241)
+            _debug_check(
+                "Riccati backward/forward (LQ direction)", dxs, dus_full, dlams
+            )
         # mask-multiply instead of .at[0].set — see force_initial_condition
         # note in inner_iteration (SPMD scatter hazard)
         _m0 = (jnp.arange(dxs.shape[0]) != 0).astype(dxs.dtype)[:, None]
@@ -927,3 +977,26 @@ def solve(
         history=st.hist,
         history_xs=st.hist_xs, history_us=st.hist_us, history_lams=st.hist_lams,
     )
+
+
+def solve_checked(
+    problem: TrajOptProblem,
+    settings: ProxDDPSettings = ProxDDPSettings(),
+    **kwargs,
+) -> ProxDDPResults:
+    """Debug-mode solve: raises ``checkify.JaxRuntimeError`` naming the
+    first NaN/Inf-poisoned site (reference ``ALIGATOR_RAISE_IF_NAN``
+    semantics, fwd.hpp:19-25) instead of silently reporting conv=False.
+
+    Traces the solver with ``settings.debug=True`` (inserting the checks),
+    functionalizes them with ``jax.experimental.checkify``, jits, runs, and
+    throws on error. Meant for offline diagnosis — the checks add masked
+    bookkeeping to every iteration, so keep the plain ``solve`` for
+    production/MPC paths."""
+    from jax.experimental import checkify
+
+    s = dataclasses.replace(settings, debug=True)
+    checked = checkify.checkify(lambda p: solve(p, s, **kwargs))
+    err, res = jax.jit(checked)(problem)
+    err.throw()
+    return res

@@ -1,5 +1,20 @@
 """Runnable OCP examples (the reference's examples/ tier)."""
 
+import os
+
+
+def _cpu_fusion_workaround() -> None:
+    """XLA:CPU fusion-emitter miscompilation workaround (see
+    tests/conftest.py for the full story): the fusion emitters corrupt
+    in-loop values on this CPU stack, stalling solves that converge with
+    fusion emitters disabled. Must be set before the backend initializes;
+    a no-op for the TPU backend."""
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_cpu_use_fusion_emitters" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_cpu_use_fusion_emitters=false"
+        ).strip()
+
 
 def force_cpu_f64() -> None:
     """Examples are correctness demos: run them on CPU in float64 (the
@@ -9,6 +24,7 @@ def force_cpu_f64() -> None:
     must be set in-process, before the first computation."""
     import jax
 
+    _cpu_fusion_workaround()
     try:
         jax.config.update("jax_platforms", "cpu")
     except RuntimeError:

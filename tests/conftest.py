@@ -12,9 +12,19 @@ import os
 # Must be set before jax initializes.
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA:CPU fusion-emitter miscompilation workaround: on this box the
+# fusion emitters corrupt values inside the solver while-loop (observed
+# jax 0.9: the merit directional derivative came out NaN in some
+# compilations — toggled by carry-buffer-size-only changes like
+# record_history — so the linesearch rejected perfect Newton steps and
+# ProxDDP stalled on a trivial f64 LQR; ground-truth straight-line
+# replication of the same math converges in 1 step). Disabling the
+# fusion emitters restores correct numerics. TPU is a different backend
+# and unaffected.
+if "xla_cpu_use_fusion_emitters" not in _flags:
+    _flags = (_flags + " --xla_cpu_use_fusion_emitters=false").strip()
+os.environ["XLA_FLAGS"] = _flags
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
