@@ -16,7 +16,7 @@ Schema (all keys lowercase):
                | {"type": "integrator", "scheme": "euler|semi_euler|rk2|rk4|midpoint",
                   "dt": 0.01, "ode": ODE},
      "cost": COST, "term_cost": COST,
-     "constraints": [{"residual": RES, "set": SET}, ...],
+     "constraints": [{"residual": RES, "set": SET, "nr": n}, ...],
      "term_constraints": [...]}
     MODEL = {"type": "serial_chain", "n_links": 6}
           | {"type": "humanoid"}
@@ -25,26 +25,68 @@ Schema (all keys lowercase):
          | {"type": "unicycle"}                      # the se2-car body-frame ODE
          | {"type": "multibody_free_fwd",
             "actuation": "full" | "floating_base"}   # uses "model"
+         | {"type": "multibody_constraint_fwd",      # contact dynamics
+            "actuation": "full" | "floating_base",
+            "contacts": CONTACTS}
+         | {"type": "kinodynamics", "frames": ["left_sole", ..],
+            "force_size": 3|6, "active": [..]}
+         | {"type": "centroidal" | "continuous_centroidal",
+            "mass": m, "gravity": [0,0,-9.81], "force_size": 3|6,
+            "contact_map": CMAP}
+    CONTACTS = {"frames": [["left_sole", 6], ..], "kp": 100.0, "kd": 50.0,
+                ["anchor_q": [..]],               # anchor placements at q
+                ["active": [..] | PER_STAGE]}     # 0/1 flags
+    CMAP = {"names": [..], "poses": [[..]], ["active": [..] | PER_STAGE]}
     COST = {"type": "quadratic", "Wx":.., "Wu":.., ["N":..]}
          | {"type": "quad_state", "target":.., "W":..}
          | {"type": "quad_control", "target":.., "W":..}
          | {"type": "quad_residual", "residual": RES, "W":..}
-         | {"type": "stack", "components": [[COST, weight], ...]}
+         | {"type": "stack", "components": [[COST, weight | PER_STAGE], ...]}
     RES  = {"type": "state_error", "target": [..]}
          | {"type": "control_error", "target": [..]}
          | {"type": "linear", "A":.., "B":.., "c":..}
          | {"type": "frame_translation", "frame": "tool0", "ref": [..]}
          | {"type": "frame_placement", "frame": "..", "ref_R": [[..]], "ref_p": [..]}
+         | {"type": "frame_velocity", "frame": "..", "ref": [..6..]}
+         | {"type": "fly_high", "frame": "..", "slope": s}
+         | {"type": "com_translation", "ref": [..3..]}
+         | {"type": "com_velocity", "ref": [..3..]}
+         | {"type": "centroidal_momentum", "ref": [..6..]}
+         | {"type": "centroidal_momentum_derivative", "frames": [..],
+            "active": [..], "force_size": 3|6}
+         | {"type": "contact_force", "contacts": CONTACTS, "actuation": "..",
+            "contact": "left_sole", "fref": [..]}
+         | {"type": "friction_cone", "contacts": CONTACTS, "actuation": "..",
+            "contact": "..", "mu": 0.7}
+         | {"type": "wrench_cone", "contacts": CONTACTS, "actuation": "..",
+            "contact": "..", "mu": 0.7, "half_length": 0.1, "half_width": 0.05}
+         | {"type": "centroidal_com", "ref": [..3..]}          # centroidal state
+         | {"type": "linear_momentum", "ref": [..3..]}
+         | {"type": "angular_momentum", "ref": [..3..]}
+         | {"type": "centroidal_acceleration", "mass":, "gravity":,
+            "contact_map": CMAP, "force_size": 3|6}
+         | {"type": "centroidal_friction_cone", "mu":, "epsilon":, "k": 0}
+         | {"type": "centroidal_wrench_cone", "mu":, "half_length":,
+            "half_width":, "k": 0}
     SET  = {"type": "equality"} | {"type": "negative_orthant"}
          | {"type": "box", "lower": [..], "upper": [..]}
          | {"type": "l1", "scale": s}
+
+Per-stage heterogeneity (the talos-walk contact schedule, swing targets,
+phase-gated cost weights): any array value may be wrapped as
+    PER_STAGE = {"per_stage": [v_0, v_1, ... v_{N-1}]}
+The problem is built from stage 0's value and the full (N, ...) array is
+stamped into the stacked stage pytree afterwards — the same mechanism
+examples/talos_walk.py uses by hand.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import json
-from typing import Any
+from typing import Any, Optional
 
+import jax
 import jax.numpy as jnp
 
 from aligator_tpu import manifolds as M
@@ -53,8 +95,24 @@ from aligator_tpu import constraints as S
 from aligator_tpu.problem import TrajOptProblem, build_problem
 
 
-def _arr(v, dtype):
-    return jnp.asarray(v, dtype)
+@dataclasses.dataclass
+class _Ctx:
+    """Parse context. ``mode`` selects how {"per_stage": ...} values are
+    resolved: "first" → stage-0 representative (for building the tiled
+    problem), "full" → the whole (N, ...) array (for stamping)."""
+
+    dtype: Any
+    mode: str = "first"
+    model: Any = None
+    has_per_stage: bool = False
+
+
+def _arr(v, ctx: _Ctx):
+    if isinstance(v, dict) and "per_stage" in v:
+        ctx.has_per_stage = True
+        full = jnp.asarray(v["per_stage"], ctx.dtype)
+        return full if ctx.mode == "full" else full[0]
+    return jnp.asarray(v, ctx.dtype)
 
 
 def _model_from_spec(m: dict, dtype):
@@ -97,7 +155,50 @@ def _space_from_spec(sp: dict, model=None):
     raise ValueError(f"unknown space type {t!r}")
 
 
-def _residual_from_spec(r: dict, space, dtype, model=None):
+def _actuation_from_spec(name: str, ctx: _Ctx):
+    from aligator_tpu.dynamics.multibody import (
+        floating_base_actuation,
+        full_actuation,
+    )
+
+    if ctx.model is None:
+        raise ValueError("multibody actuation needs a top-level 'model'")
+    return (full_actuation(ctx.model, ctx.dtype) if name == "full"
+            else floating_base_actuation(ctx.model, ctx.dtype))
+
+
+def _contacts_from_spec(c: dict, ctx: _Ctx):
+    """CONTACTS → multibody ContactSet (contact dynamics / force residuals)."""
+    from aligator_tpu import multibody as mb
+
+    if ctx.model is None:
+        raise ValueError("contact set needs a top-level 'model'")
+    cs = mb.make_contact_set(
+        ctx.model,
+        tuple((str(n), int(d)) for n, d in c["frames"]),
+        kp=float(c.get("kp", 100.0)),
+        kd=float(c.get("kd", 50.0)),
+        dtype=ctx.dtype,
+    )
+    if "anchor_q" in c:
+        cs = mb.anchor_at_configuration(ctx.model, cs, _arr(c["anchor_q"], ctx))
+    if "active" in c:
+        cs = cs.replace(active=_arr(c["active"], ctx))
+    return cs
+
+
+def _contact_map_from_spec(c: dict, ctx: _Ctx):
+    from aligator_tpu.dynamics.centroidal import ContactMap
+
+    cm = ContactMap.create(
+        tuple(c["names"]), _arr(c["poses"], ctx), dtype=ctx.dtype
+    )
+    if "active" in c:
+        cm = cm.replace(active=_arr(c["active"], ctx))
+    return cm
+
+
+def _residual_from_spec(r: dict, space, ctx: _Ctx):
     from aligator_tpu.functions import (
         StateErrorResidual,
         ControlErrorResidual,
@@ -105,15 +206,17 @@ def _residual_from_spec(r: dict, space, dtype, model=None):
     )
 
     t = r["type"]
+    model = ctx.model
     if t == "state_error":
-        return StateErrorResidual(target=_arr(r["target"], dtype), space=space)
+        return StateErrorResidual(target=_arr(r["target"], ctx), space=space)
     if t == "control_error":
-        return ControlErrorResidual(target=_arr(r["target"], dtype))
+        return ControlErrorResidual(target=_arr(r["target"], ctx))
     if t == "linear":
         return LinearFunction(
-            A=_arr(r["A"], dtype), B=_arr(r["B"], dtype), c=_arr(r["c"], dtype)
+            A=_arr(r["A"], ctx), B=_arr(r["B"], ctx), c=_arr(r["c"], ctx)
         )
-    if t in ("frame_translation", "frame_placement"):
+    if t in ("frame_translation", "frame_placement", "frame_velocity",
+             "fly_high"):
         if model is None:
             raise ValueError(f"{t} residual needs a top-level 'model'")
         fid = model.frame_id(r["frame"])
@@ -121,13 +224,123 @@ def _residual_from_spec(r: dict, space, dtype, model=None):
             from aligator_tpu.functions.frames import FrameTranslationResidual
 
             return FrameTranslationResidual(
-                model=model, ref=_arr(r["ref"], dtype), frame_id=fid
+                model=model, ref=_arr(r["ref"], ctx), frame_id=fid
+            )
+        if t == "frame_velocity":
+            from aligator_tpu.functions.frames import FrameVelocityResidual
+
+            return FrameVelocityResidual(
+                model=model, ref=_arr(r["ref"], ctx), frame_id=fid
+            )
+        if t == "fly_high":
+            from aligator_tpu.functions.frames import FlyHighResidual
+
+            return FlyHighResidual(
+                model=model, slope=_arr(r.get("slope", 1.0), ctx), frame_id=fid
             )
         from aligator_tpu.functions.frames import FramePlacementResidual
 
         return FramePlacementResidual(
-            model=model, ref_R=_arr(r["ref_R"], dtype), ref_p=_arr(r["ref_p"], dtype),
+            model=model, ref_R=_arr(r["ref_R"], ctx), ref_p=_arr(r["ref_p"], ctx),
             frame_id=fid,
+        )
+    if t in ("com_translation", "com_velocity", "centroidal_momentum"):
+        from aligator_tpu.functions.frames import (
+            CenterOfMassTranslationResidual,
+            CenterOfMassVelocityResidual,
+            CentroidalMomentumResidual,
+        )
+
+        if model is None:
+            raise ValueError(f"{t} residual needs a top-level 'model'")
+        cls = {
+            "com_translation": CenterOfMassTranslationResidual,
+            "com_velocity": CenterOfMassVelocityResidual,
+            "centroidal_momentum": CentroidalMomentumResidual,
+        }[t]
+        return cls(model=model, ref=_arr(r["ref"], ctx))
+    if t == "centroidal_momentum_derivative":
+        from aligator_tpu.functions.frames import (
+            CentroidalMomentumDerivativeResidual,
+        )
+
+        if model is None:
+            raise ValueError(f"{t} residual needs a top-level 'model'")
+        fids = tuple(model.frame_id(n) for n in r["frames"])
+        return CentroidalMomentumDerivativeResidual(
+            model=model, active=_arr(r["active"], ctx), frame_ids=fids,
+            force_size=int(r.get("force_size", 3)),
+        )
+    if t in ("contact_force", "friction_cone", "wrench_cone"):
+        from aligator_tpu.functions.contact import (
+            ContactForceResidual,
+            MultibodyFrictionConeResidual,
+            MultibodyWrenchConeResidual,
+            wrench_cone_matrix,
+        )
+
+        if model is None:
+            raise ValueError(f"{t} residual needs a top-level 'model'")
+        contacts = _contacts_from_spec(r["contacts"], ctx)
+        act = _actuation_from_spec(r.get("actuation", "floating_base"), ctx)
+        if t == "contact_force":
+            return ContactForceResidual(
+                model=model, actuation=act, contacts=contacts,
+                fref=_arr(r["fref"], ctx), contact_name=str(r["contact"]),
+            )
+        if t == "friction_cone":
+            return MultibodyFrictionConeResidual(
+                model=model, actuation=act, contacts=contacts,
+                mu=_arr(r.get("mu", 0.7), ctx), contact_name=str(r["contact"]),
+            )
+        return MultibodyWrenchConeResidual(
+            model=model, actuation=act, contacts=contacts,
+            Acone=wrench_cone_matrix(
+                float(r.get("mu", 0.7)), float(r.get("half_length", 0.1)),
+                float(r.get("half_width", 0.05)), dtype=ctx.dtype,
+            ),
+            contact_name=str(r["contact"]),
+        )
+    if t in ("centroidal_com", "linear_momentum", "angular_momentum"):
+        from aligator_tpu.functions.centroidal import (
+            AngularMomentumResidual,
+            CentroidalCoMResidual,
+            LinearMomentumResidual,
+        )
+
+        cls = {
+            "centroidal_com": CentroidalCoMResidual,
+            "linear_momentum": LinearMomentumResidual,
+            "angular_momentum": AngularMomentumResidual,
+        }[t]
+        return cls(ref=_arr(r["ref"], ctx))
+    if t == "centroidal_acceleration":
+        from aligator_tpu.functions.centroidal import (
+            CentroidalAccelerationResidual,
+        )
+
+        return CentroidalAccelerationResidual(
+            contact_map=_contact_map_from_spec(r["contact_map"], ctx),
+            mass=_arr(r["mass"], ctx), gravity=_arr(r["gravity"], ctx),
+            force_size=int(r.get("force_size", 3)),
+        )
+    if t == "centroidal_friction_cone":
+        from aligator_tpu.functions.centroidal import (
+            CentroidalFrictionConeResidual,
+        )
+
+        return CentroidalFrictionConeResidual(
+            mu=_arr(r.get("mu", 0.7), ctx),
+            epsilon=_arr(r.get("epsilon", 1e-9), ctx), k=int(r.get("k", 0)),
+        )
+    if t == "centroidal_wrench_cone":
+        from aligator_tpu.functions.centroidal import (
+            CentroidalWrenchConeResidual,
+        )
+
+        return CentroidalWrenchConeResidual(
+            mu=float(r.get("mu", 0.7)), hL=float(r.get("half_length", 0.1)),
+            hW=float(r.get("half_width", 0.05)), k=int(r.get("k", 0)),
         )
     raise ValueError(f"unknown residual type {t!r}")
 
@@ -145,39 +358,40 @@ def _set_from_spec(s: dict):
     raise ValueError(f"unknown set type {t!r}")
 
 
-def _cost_from_spec(c: dict, space, dtype, model=None):
+def _cost_from_spec(c: dict, space, ctx: _Ctx):
     t = c["type"]
     if t == "quadratic":
         return C.QuadraticCost.create(
-            _arr(c["Wx"], dtype), _arr(c["Wu"], dtype),
-            N=_arr(c["N"], dtype) if "N" in c else None,
+            _arr(c["Wx"], ctx), _arr(c["Wu"], ctx),
+            N=_arr(c["N"], ctx) if "N" in c else None,
         )
     if t == "quad_state":
-        return C.QuadraticStateCost(space, _arr(c["target"], dtype),
-                                    _arr(c["W"], dtype))
+        return C.QuadraticStateCost(space, _arr(c["target"], ctx),
+                                    _arr(c["W"], ctx))
     if t == "quad_control":
-        return C.QuadraticControlCost(_arr(c["target"], dtype), _arr(c["W"], dtype))
+        return C.QuadraticControlCost(_arr(c["target"], ctx), _arr(c["W"], ctx))
     if t == "quad_residual":
         return C.QuadraticResidualCost(
-            residual=_residual_from_spec(c["residual"], space, dtype, model),
-            W=_arr(c["W"], dtype),
+            residual=_residual_from_spec(c["residual"], space, ctx),
+            W=_arr(c["W"], ctx),
         )
     if t == "stack":
         return C.CostStack.create(
-            *[(_cost_from_spec(cc, space, dtype, model), w)
+            *[(_cost_from_spec(cc, space, ctx), _arr(w, ctx))
               for cc, w in c["components"]]
         )
     raise ValueError(f"unknown cost type {t!r}")
 
 
-def _ode_from_spec(ode_spec: dict, dtype, model=None):
+def _ode_from_spec(ode_spec: dict, ctx: _Ctx):
     from aligator_tpu.dynamics import LinearODE
 
     t = ode_spec["type"]
+    model = ctx.model
     if t == "linear":
-        return LinearODE(A=_arr(ode_spec["A"], dtype),
-                         B=_arr(ode_spec["B"], dtype),
-                         c=_arr(ode_spec["c"], dtype))
+        return LinearODE(A=_arr(ode_spec["A"], ctx),
+                         B=_arr(ode_spec["B"], ctx),
+                         c=_arr(ode_spec["c"], ctx))
     if t == "unicycle":
         # the se2-car body-frame ODE (examples/se2_car.py CarDynamics;
         # reference examples/se2-car.hpp:34-100)
@@ -189,22 +403,56 @@ def _ode_from_spec(ode_spec: dict, dtype, model=None):
 
         return CustomODE(fn=xdot)
     if t == "multibody_free_fwd":
-        from aligator_tpu.dynamics.multibody import (
-            MultibodyFreeFwdDynamics,
-            floating_base_actuation,
-            full_actuation,
-        )
+        from aligator_tpu.dynamics.multibody import MultibodyFreeFwdDynamics
 
         if model is None:
             raise ValueError("multibody_free_fwd ode needs a top-level 'model'")
-        act = ode_spec.get("actuation", "full")
-        actuation = (full_actuation(model, dtype) if act == "full"
-                     else floating_base_actuation(model, dtype))
-        return MultibodyFreeFwdDynamics(model=model, actuation=actuation)
+        return MultibodyFreeFwdDynamics(
+            model=model,
+            actuation=_actuation_from_spec(ode_spec.get("actuation", "full"), ctx),
+        )
+    if t == "multibody_constraint_fwd":
+        from aligator_tpu.dynamics.multibody import MultibodyConstraintFwdDynamics
+
+        if model is None:
+            raise ValueError("multibody_constraint_fwd ode needs a 'model'")
+        return MultibodyConstraintFwdDynamics(
+            model=model,
+            actuation=_actuation_from_spec(
+                ode_spec.get("actuation", "floating_base"), ctx
+            ),
+            contacts=_contacts_from_spec(ode_spec["contacts"], ctx),
+        )
+    if t == "kinodynamics":
+        from aligator_tpu.dynamics.multibody import KinodynamicsFwdDynamics
+
+        if model is None:
+            raise ValueError("kinodynamics ode needs a top-level 'model'")
+        fids = tuple(model.frame_id(n) for n in ode_spec["frames"])
+        nk = len(fids)
+        active = _arr(ode_spec.get("active", [1.0] * nk), ctx)
+        return KinodynamicsFwdDynamics(
+            model=model, active=active, frame_ids=fids,
+            force_size=int(ode_spec.get("force_size", 3)),
+        )
+    if t in ("centroidal", "continuous_centroidal"):
+        from aligator_tpu.dynamics.centroidal import (
+            CentroidalFwdDynamics,
+            ContinuousCentroidalFwdDynamics,
+        )
+
+        cls = (CentroidalFwdDynamics if t == "centroidal"
+               else ContinuousCentroidalFwdDynamics)
+        return cls(
+            contact_map=_contact_map_from_spec(ode_spec["contact_map"], ctx),
+            mass=_arr(ode_spec["mass"], ctx),
+            gravity=_arr(ode_spec.get("gravity", [0.0, 0.0, -9.81]), ctx),
+            force_size=int(ode_spec.get("force_size", 3)),
+        )
     raise ValueError(f"unknown ode type {t!r}")
 
 
-def _dynamics_from_spec(d: dict, dtype, model=None):
+def _dynamics_from_spec(d: dict, ctx: _Ctx):
     from aligator_tpu.dynamics import (
         LinearDiscreteDynamics,
         EulerIntegrator,
@@ -217,11 +465,11 @@ def _dynamics_from_spec(d: dict, dtype, model=None):
     t = d["type"]
     if t == "linear_discrete":
         return LinearDiscreteDynamics(
-            A=_arr(d["A"], dtype), B=_arr(d["B"], dtype), c=_arr(d["c"], dtype)
+            A=_arr(d["A"], ctx), B=_arr(d["B"], ctx), c=_arr(d["c"], ctx)
         )
     if t == "integrator":
-        ode = _ode_from_spec(d["ode"], dtype, model)
-        dt = jnp.asarray(d["dt"], dtype)
+        ode = _ode_from_spec(d["ode"], ctx)
+        dt = jnp.asarray(d["dt"], ctx.dtype)
         scheme = d.get("scheme", "euler")
         mk = {
             "euler": lambda: EulerIntegrator(ode=ode, dt=dt),
@@ -234,22 +482,32 @@ def _dynamics_from_spec(d: dict, dtype, model=None):
     raise ValueError(f"unknown dynamics type {t!r}")
 
 
+def _merge_per_stage(tiled, full, nsteps: int):
+    """Stamp per-stage leaves into the tiled stage pytree: a spec leaf
+    whose shape already equals the tiled leaf's (N, ...) shape is a
+    per-stage array and replaces the tile; anything else keeps the tile."""
+    return jax.tree.map(
+        lambda t, f: f if f.shape == t.shape else t, tiled, full
+    )
+
+
 def problem_from_spec(spec: dict | str, dtype=jnp.float64) -> TrajOptProblem:
     """Build a TrajOptProblem from a spec dict or JSON string."""
     if isinstance(spec, str):
         spec = json.loads(spec)
     model = _model_from_spec(spec["model"], dtype) if "model" in spec else None
+    ctx = _Ctx(dtype=dtype, mode="first", model=model)
     space = _space_from_spec(spec["space"], model)
     nu = int(spec["nu"])
     nsteps = int(spec["nsteps"])
-    dyn = _dynamics_from_spec(spec["dynamics"], dtype, model)
-    cost = _cost_from_spec(spec["cost"], space, dtype, model)
-    tcost = _cost_from_spec(spec["term_cost"], space, dtype, model)
+    dyn = _dynamics_from_spec(spec["dynamics"], ctx)
+    cost = _cost_from_spec(spec["cost"], space, ctx)
+    tcost = _cost_from_spec(spec["term_cost"], space, ctx)
 
-    def cstr_list(key):
+    def cstr_list(key, c):
         out = []
         for e in spec.get(key, []):
-            res = _residual_from_spec(e["residual"], space, dtype, model)
+            res = _residual_from_spec(e["residual"], space, c)
             st = _set_from_spec(e["set"])
             nr = int(e.get("nr") or len(e["residual"].get("target", [])) or 0)
             if nr == 0:
@@ -257,8 +515,26 @@ def problem_from_spec(spec: dict | str, dtype=jnp.float64) -> TrajOptProblem:
             out.append((res, st, nr))
         return tuple(out)
 
-    return build_problem(
-        space, nu, nsteps, _arr(spec["x0"], dtype), dyn, cost, tcost,
-        constraints=cstr_list("constraints"),
-        term_constraints=cstr_list("term_constraints"),
+    cstrs = cstr_list("constraints", ctx)
+    problem = build_problem(
+        space, nu, nsteps, _arr(spec["x0"], ctx), dyn, cost, tcost,
+        constraints=cstrs,
+        term_constraints=cstr_list("term_constraints", ctx),
     )
+
+    if ctx.has_per_stage:
+        # second pass: parse with the full (N, ...) arrays and stamp them
+        # into the stacked stage pytrees (the talos-walk mechanism)
+        fctx = _Ctx(dtype=dtype, mode="full", model=model)
+        dyn_f = _dynamics_from_spec(spec["dynamics"], fctx)
+        cost_f = _cost_from_spec(spec["cost"], space, fctx)
+        cstr_f = cstr_list("constraints", fctx)
+        problem = problem.replace(
+            dynamics=_merge_per_stage(problem.dynamics, dyn_f, nsteps),
+            cost=_merge_per_stage(problem.cost, cost_f, nsteps),
+            constraints=tuple(
+                _merge_per_stage(t, f[0], nsteps)
+                for t, f in zip(problem.constraints, cstr_f)
+            ),
+        )
+    return problem

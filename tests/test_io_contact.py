@@ -1,0 +1,247 @@
+"""Spec coverage for the contact/centroidal problem class (VERDICT r3
+item 7): the reference's croc-compat layer carries multi-contact
+humanoid problems (compat/crocoddyl/problem-wrap.hpp:1-23); the spec
+importer must be able to express the same class — contact dynamics with
+Baumgarte parameters and per-stage activation schedules, centroidal
+dynamics, cone residuals, CoM/momentum residuals — through pure JSON."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from aligator_tpu.io import problem_from_spec
+from aligator_tpu.solvers import ProxDDPSettings, proxddp_solve
+
+
+def _trees_equal(a, b):
+    la, ta = jax.tree.flatten(a)
+    lb, tb = jax.tree.flatten(b)
+    assert ta == tb, f"treedefs differ:\n{ta}\n{tb}"
+    for x, y in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=0.0)
+
+
+def test_spec_round_trip_talos_small():
+    """The talos-walk problem (contact-constrained humanoid with a
+    per-stage contact/weight/target schedule) expressed as pure JSON
+    builds the exact same stacked problem pytree as the hand-built
+    examples/talos_walk.py construction."""
+    from examples.talos_walk import create_walk_problem, walk_phases, _wx_diag
+    from aligator_tpu import multibody as mb
+    from aligator_tpu.multibody.model import build_humanoid, humanoid_half_sitting
+
+    T_ss, T_ds = 4, 2
+    dtype = jnp.float64
+    ref_problem, model = create_walk_problem(T_ss, T_ds, dtype=dtype)
+
+    q0 = humanoid_half_sitting(model, dtype)
+    nv, nu = model.nv, model.nv - 6
+    lf, rf, wl, wr, dz = walk_phases(T_ss, T_ds)
+    N = len(lf)
+    LF0 = mb.frame_placement(model, q0, model.frame_id("left_sole"))
+    RF0 = mb.frame_placement(model, q0, model.frame_id("right_sole"))
+    lf_p = np.broadcast_to(np.asarray(LF0.p), (N, 3)).copy()
+    lf_p[:, 2] += dz
+    rf_p = np.broadcast_to(np.asarray(RF0.p), (N, 3)).copy()
+    rf_p[:, 2] += dz
+
+    spec = {
+        "model": {"type": "humanoid"},
+        "space": {"type": "multibody_phase"},
+        "nu": nu,
+        "nsteps": N,
+        "x0": np.concatenate([np.asarray(q0), np.zeros(nv)]).tolist(),
+        "dynamics": {
+            "type": "integrator", "scheme": "semi_euler", "dt": 0.01,
+            "ode": {
+                "type": "multibody_constraint_fwd",
+                "actuation": "floating_base",
+                "contacts": {
+                    "frames": [["left_sole", 6], ["right_sole", 6]],
+                    "kp": 100.0, "kd": 50.0,
+                    "anchor_q": np.asarray(q0).tolist(),
+                    "active": {
+                        "per_stage": np.stack([lf, rf], axis=1).tolist()
+                    },
+                },
+            },
+        },
+        "cost": {
+            "type": "stack",
+            "components": [
+                [{"type": "quad_state",
+                  "target": np.concatenate([np.asarray(q0), np.zeros(nv)]).tolist(),
+                  "W": np.asarray(_wx_diag(dtype)).tolist()}, 1.0],
+                [{"type": "quad_control", "target": [0.0] * nu,
+                  "W": (1e-3 * np.eye(nu)).tolist()}, 1.0],
+                [{"type": "quad_residual",
+                  "residual": {"type": "frame_placement", "frame": "left_sole",
+                               "ref_R": np.asarray(LF0.R).tolist(),
+                               "ref_p": {"per_stage": lf_p.tolist()}},
+                  "W": (1e4 * np.eye(6)).tolist()},
+                 {"per_stage": wl.tolist()}],
+                [{"type": "quad_residual",
+                  "residual": {"type": "frame_placement", "frame": "right_sole",
+                               "ref_R": np.asarray(RF0.R).tolist(),
+                               "ref_p": {"per_stage": rf_p.tolist()}},
+                  "W": (1e4 * np.eye(6)).tolist()},
+                 {"per_stage": wr.tolist()}],
+            ],
+        },
+        "term_cost": {
+            "type": "quad_state",
+            "target": np.concatenate([np.asarray(q0), np.zeros(nv)]).tolist(),
+            "W": np.asarray(_wx_diag(dtype)).tolist(),
+        },
+    }
+    # pure-JSON round trip
+    spec_problem = problem_from_spec(json.dumps(spec), dtype=dtype)
+    assert spec_problem.nsteps == ref_problem.nsteps
+    assert spec_problem.nu == ref_problem.nu
+    _trees_equal(spec_problem.dynamics, ref_problem.dynamics)
+    _trees_equal(spec_problem.cost, ref_problem.cost)
+    _trees_equal(spec_problem.term_cost, ref_problem.term_cost)
+    np.testing.assert_allclose(
+        np.asarray(spec_problem.x0), np.asarray(ref_problem.x0)
+    )
+
+
+def test_spec_round_trip_centroidal():
+    """A centroidal point-mass problem (dynamics + CoM/momentum residual
+    costs + friction-cone constraint) from pure JSON solves to the same
+    optimum as the hand-built equivalent."""
+    from aligator_tpu import manifolds as M
+    from aligator_tpu import costs as C
+    from aligator_tpu import constraints as S
+    from aligator_tpu.dynamics import EulerIntegrator
+    from aligator_tpu.dynamics.centroidal import CentroidalFwdDynamics, ContactMap
+    from aligator_tpu.functions.centroidal import (
+        CentroidalCoMResidual,
+        CentroidalFrictionConeResidual,
+        LinearMomentumResidual,
+    )
+    from aligator_tpu.problem import build_problem
+
+    mass, N = 40.0, 12
+    poses = [[0.0, 0.15, 0.0], [0.0, -0.15, 0.0]]
+    x0 = [0.0, 0.0, 0.8, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    com_ref = [0.05, 0.0, 0.78]
+    spec = {
+        "space": {"type": "vector", "dim": 9},
+        "nu": 6,
+        "nsteps": N,
+        "x0": x0,
+        "dynamics": {
+            "type": "integrator", "scheme": "euler", "dt": 0.05,
+            "ode": {
+                "type": "centroidal", "mass": mass,
+                "gravity": [0.0, 0.0, -9.81],
+                "contact_map": {"names": ["lf", "rf"], "poses": poses},
+                "force_size": 3,
+            },
+        },
+        "cost": {
+            "type": "stack",
+            "components": [
+                [{"type": "quad_residual",
+                  "residual": {"type": "centroidal_com", "ref": com_ref},
+                  "W": (10.0 * np.eye(3)).tolist()}, 1.0],
+                [{"type": "quad_residual",
+                  "residual": {"type": "linear_momentum", "ref": [0.0] * 3},
+                  "W": (0.1 * np.eye(3)).tolist()}, 1.0],
+                [{"type": "quad_control",
+                  "target": [0.0, 0.0, mass * 9.81 / 2] * 2,
+                  "W": (1e-4 * np.eye(6)).tolist()}, 1.0],
+            ],
+        },
+        "term_cost": {
+            "type": "quad_residual",
+            "residual": {"type": "centroidal_com", "ref": com_ref},
+            "W": (100.0 * np.eye(3)).tolist(),
+        },
+        "constraints": [
+            {"residual": {"type": "centroidal_friction_cone", "mu": 0.7,
+                          "epsilon": 1e-9, "k": 0},
+             "set": {"type": "negative_orthant"}, "nr": 2}
+        ],
+    }
+    prob_spec = problem_from_spec(json.dumps(spec))
+
+    # hand-built equivalent
+    space = M.VectorSpace(9)
+    cmap = ContactMap.create(("lf", "rf"), jnp.asarray(poses))
+    ode = CentroidalFwdDynamics(
+        contact_map=cmap, mass=jnp.asarray(mass),
+        gravity=jnp.asarray([0.0, 0.0, -9.81]), force_size=3,
+    )
+    dyn = EulerIntegrator(ode=ode, dt=jnp.asarray(0.05))
+    cost = C.CostStack.create(
+        (C.QuadraticResidualCost(
+            residual=CentroidalCoMResidual(ref=jnp.asarray(com_ref)),
+            W=10.0 * jnp.eye(3)), 1.0),
+        (C.QuadraticResidualCost(
+            residual=LinearMomentumResidual(ref=jnp.zeros(3)),
+            W=0.1 * jnp.eye(3)), 1.0),
+        (C.QuadraticControlCost(
+            jnp.asarray([0.0, 0.0, mass * 9.81 / 2] * 2), 1e-4 * jnp.eye(6)),
+         1.0),
+    )
+    tcost = C.QuadraticResidualCost(
+        residual=CentroidalCoMResidual(ref=jnp.asarray(com_ref)),
+        W=100.0 * jnp.eye(3),
+    )
+    prob_hand = build_problem(
+        space, 6, N, jnp.asarray(x0), dyn, cost, tcost,
+        constraints=((CentroidalFrictionConeResidual(
+            mu=jnp.asarray(0.7), epsilon=jnp.asarray(1e-9), k=0),
+            S.NegativeOrthant(), 2),),
+    )
+
+    s = ProxDDPSettings(tol=1e-6, mu_init=1e-3, max_iters=100)
+    res_spec = jax.jit(lambda p: proxddp_solve(p, s))(prob_spec)
+    res_hand = jax.jit(lambda p: proxddp_solve(p, s))(prob_hand)
+    assert bool(res_spec.conv) and bool(res_hand.conv)
+    np.testing.assert_allclose(
+        np.asarray(res_spec.xs), np.asarray(res_hand.xs), atol=1e-10
+    )
+    # the CoM actually tracks the reference target
+    assert float(jnp.linalg.norm(res_spec.xs[-1][:3] - jnp.asarray(com_ref))) < 0.1
+
+
+def test_spec_kinodynamics_builds_and_rolls():
+    """Kinodynamics ODE from spec: builds, evaluates one rollout step."""
+    from aligator_tpu.multibody.model import build_humanoid, humanoid_half_sitting
+
+    model = build_humanoid(jnp.float64)
+    nv = model.nv
+    q0 = humanoid_half_sitting(model, jnp.float64)
+    nk, fs = 2, 3
+    nu = nk * fs + (nv - 6)
+    spec = {
+        "model": {"type": "humanoid"},
+        "space": {"type": "multibody_phase"},
+        "nu": nu,
+        "nsteps": 4,
+        "x0": np.concatenate([np.asarray(q0), np.zeros(nv)]).tolist(),
+        "dynamics": {
+            "type": "integrator", "scheme": "euler", "dt": 0.01,
+            "ode": {"type": "kinodynamics",
+                    "frames": ["left_sole", "right_sole"],
+                    "force_size": fs, "active": [1.0, 1.0]},
+        },
+        "cost": {"type": "quad_control", "target": [0.0] * nu,
+                 "W": np.eye(nu).tolist()},
+        "term_cost": {"type": "quad_control", "target": [0.0] * nu,
+                      "W": np.eye(nu).tolist()},
+    }
+    prob = problem_from_spec(spec)
+    from aligator_tpu.problem import evaluate
+
+    xs = jnp.broadcast_to(prob.x0, (prob.nsteps + 1, prob.x0.shape[0]))
+    us = jnp.zeros((prob.nsteps, nu))
+    data = jax.jit(lambda p: evaluate(p, xs, us))(prob)
+    assert bool(jnp.all(jnp.isfinite(data.dyn_defects)))
