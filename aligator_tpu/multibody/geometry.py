@@ -1,11 +1,24 @@
-"""Minimal differentiable collision geometry (spheres & capsules).
+"""Minimal differentiable collision geometry.
 
 The reference delegates distance queries to the ``coal`` library through
 Pinocchio geometry models (modelling/multibody/frame-collision.hxx:
 computeDistance on a geometry pair). The TPU rebuild implements the
-primitive pairs robots actually use for self-collision margins —
-sphere/sphere, sphere/capsule, capsule/capsule — as closed-form jnp with
-eps-guarded norms so distances stay AD-safe at touching configurations."""
+primitive pairs robots actually use as closed-form jnp with eps-guarded
+norms so distances stay AD-safe at touching configurations:
+
+  * sphere/sphere, sphere/capsule, capsule/capsule — self-collision
+    margins (closed-form segment-segment);
+  * sphere/box, capsule/box — obstacle avoidance against box obstacles
+    (exact box SDF; the capsule case minimizes the SDF along the segment
+    with a fixed-iteration ternary search + Danskin gradient);
+  * anything/halfspace — ground/wall clearance (supports sphere,
+    capsule, box).
+
+Box/box is intentionally not implemented (GJK territory): model the
+*robot* side with spheres/capsules — the universal practice for
+real-time self-collision — and keep boxes/halfspaces for the static
+environment.
+"""
 
 from __future__ import annotations
 
@@ -22,14 +35,25 @@ from aligator_tpu.multibody.spatial import SE3T, se3_mul
 @dataclasses.dataclass(frozen=True)
 class GeomObject:
     """A primitive attached to a model frame with a fixed local offset.
-    ``kind`` ∈ {"sphere", "capsule"}; capsules run along their local z
-    axis with given half_length."""
+
+    ``kind`` ∈ {"sphere", "capsule", "box", "halfspace"}:
+      * capsules run along their local z axis with given ``half_length``;
+      * boxes are axis-aligned in the (offset) frame with
+        ``half_extents``;
+      * halfspaces occupy {x : n·(x−o) ≤ 0} with n the frame z axis —
+        distance to a halfspace is headroom above the plane.
+
+    ``frame_id = -1`` attaches the primitive to the WORLD frame (a
+    static obstacle / the ground plane) — the reference's equivalent is
+    a geometry object on the universe joint.
+    """
 
     frame_id: int
     kind: str = "sphere"
     radius: float = 0.05
     half_length: float = 0.0
     offset_p: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    half_extents: Tuple[float, float, float] = (0.0, 0.0, 0.0)
 
 
 def _safe_norm(v, eps=1e-12):
@@ -65,22 +89,111 @@ def _seg_seg_closest(p1, q1, p2, q2):
     return _safe_norm(c1 - c2)
 
 
+def _box_sdf_local(u, h):
+    """Exact signed distance from a point ``u`` (in the box frame) to a
+    box with half-extents ``h``: ‖max(|u|−h, 0)‖ + min(max(|u|−h), 0)."""
+    qv = jnp.abs(u) - h
+    outside = _safe_norm(jnp.maximum(qv, 0.0))
+    inside = jnp.minimum(jnp.max(qv, axis=-1), 0.0)
+    return outside + inside
+
+
+def _to_local(M: SE3T, p):
+    return (M.R.T @ (p - M.p)[..., None])[..., 0]
+
+
+def _point_box_distance(p, Mb: SE3T, box: GeomObject, dtype):
+    cb = Mb.p + (Mb.R @ jnp.asarray(box.offset_p, dtype)[..., None])[..., 0]
+    u = (Mb.R.T @ (p - cb)[..., None])[..., 0]
+    return _box_sdf_local(u, jnp.asarray(box.half_extents, dtype))
+
+
+def _segment_box_distance(p1, q1, Mb: SE3T, box: GeomObject, dtype,
+                          iters: int = 32):
+    """min_{t∈[0,1]} boxSDF(p1 + t·(q1−p1)) by fixed-iteration ternary
+    search. The minimizer t* is computed under stop_gradient and the SDF
+    re-evaluated at t* — Danskin's theorem gives the exact gradient of
+    the min for the (a.e. unique) minimizer."""
+    d = q1 - p1
+
+    def f(t):
+        return _point_box_distance(p1 + t * d, Mb, box, dtype)
+
+    lo, hi = jnp.asarray(0.0, dtype), jnp.asarray(1.0, dtype)
+
+    def body(_, carry):
+        lo, hi = carry
+        m1 = lo + (hi - lo) / 3.0
+        m2 = hi - (hi - lo) / 3.0
+        go_left = f(m1) <= f(m2)
+        return (jnp.where(go_left, lo, m1), jnp.where(go_left, m2, hi))
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    t_star = jax.lax.stop_gradient(0.5 * (lo + hi))
+    return f(t_star)
+
+
+def _halfspace_info(Mh: SE3T, hs: GeomObject, dtype):
+    o = Mh.p + (Mh.R @ jnp.asarray(hs.offset_p, dtype)[..., None])[..., 0]
+    n = Mh.R[..., :, 2]
+    return o, n
+
+
+def _box_corners(Mb: SE3T, box: GeomObject, dtype):
+    cb = Mb.p + (Mb.R @ jnp.asarray(box.offset_p, dtype)[..., None])[..., 0]
+    h = jnp.asarray(box.half_extents, dtype)
+    signs = jnp.asarray(
+        [[sx, sy, sz] for sx in (-1.0, 1.0) for sy in (-1.0, 1.0)
+         for sz in (-1.0, 1.0)], dtype)
+    return cb + (signs * h) @ Mb.R.T  # (8, 3)
+
+
 def pair_distance(model: MultibodyModel, q: jax.Array,
                   g1: GeomObject, g2: GeomObject) -> jax.Array:
     """Signed distance between two attached primitives (negative =
-    penetration)."""
+    penetration). Supported pairs: {sphere,capsule}×{sphere,capsule,box,
+    halfspace} and box×halfspace (either argument order)."""
     from aligator_tpu.multibody.algorithms import forward_kinematics
 
     oM = forward_kinematics(model, q)
 
+    dt = q.dtype
+
     def placement(g: GeomObject) -> SE3T:
+        if g.frame_id < 0:  # world-fixed primitive
+            return SE3T(jnp.eye(3, dtype=dt), jnp.zeros(3, dt))
         f = model.frames[g.frame_id]
         return se3_mul(
             oM[f.parent_joint],
             SE3T(model.frame_R[g.frame_id], model.frame_p[g.frame_id]),
         )
-
+    kinds = (g1.kind, g2.kind)
+    seglike = ("sphere", "capsule")
+    # canonical order: segment-like first, then box before halfspace
+    rank = {"sphere": 0, "capsule": 0, "box": 1, "halfspace": 2}
+    if rank[g1.kind] > rank[g2.kind]:
+        g1, g2 = g2, g1
     M1, M2 = placement(g1), placement(g2)
-    p1, q1_ = _segment_endpoints(M1, g1, q.dtype)
-    p2, q2_ = _segment_endpoints(M2, g2, q.dtype)
-    return _seg_seg_closest(p1, q1_, p2, q2_) - g1.radius - g2.radius
+
+    if g1.kind in seglike and g2.kind in seglike:
+        p1, q1_ = _segment_endpoints(M1, g1, dt)
+        p2, q2_ = _segment_endpoints(M2, g2, dt)
+        return _seg_seg_closest(p1, q1_, p2, q2_) - g1.radius - g2.radius
+    if g1.kind in seglike and g2.kind == "box":
+        p1, q1_ = _segment_endpoints(M1, g1, dt)
+        if g1.kind == "sphere":
+            return _point_box_distance(p1, M2, g2, dt) - g1.radius
+        return _segment_box_distance(p1, q1_, M2, g2, dt) - g1.radius
+    if g1.kind in seglike and g2.kind == "halfspace":
+        o, n = _halfspace_info(M2, g2, dt)
+        p1, q1_ = _segment_endpoints(M1, g1, dt)
+        d = jnp.minimum(jnp.dot(n, p1 - o), jnp.dot(n, q1_ - o))
+        return d - g1.radius
+    if g1.kind == "box" and g2.kind == "halfspace":
+        o, n = _halfspace_info(M2, g2, dt)
+        corners = _box_corners(M1, g1, dt)
+        return jnp.min((corners - o) @ n)
+    raise NotImplementedError(
+        f"unsupported geometry pair {kinds}: model the robot side with "
+        "spheres/capsules and keep boxes/halfspaces for the environment"
+    )
