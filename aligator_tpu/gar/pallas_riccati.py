@@ -288,6 +288,42 @@ def _check_tb(bsz: int, tb: int) -> None:
         )
 
 
+# Batches larger than this are chunked through lax.map: the axon TPU
+# compile helper dies (HTTP 500, subprocess exit 1) compiling the fused
+# kernel's program above ~512×(N=100, nx=56) — measured B=512 OK /
+# B=768 fail on v5e — and chunking also bounds the live HBM footprint.
+# One chunk program is compiled once and iterated, so b1024 costs two
+# sequential b512 launches (r03's undiagnosed pallas_b1024 failure).
+_MAX_PALLAS_BATCH = 512
+
+
+def _chunked(fn, *args):
+    """Split the leading batch axis of every array in ``args`` into
+    chunks of ≤ _MAX_PALLAS_BATCH and lax.map ``fn`` over them. Returns
+    None if no chunking applies (caller runs the direct path)."""
+    bsz = jax.tree.leaves(args[0])[0].shape[0]
+    if bsz <= _MAX_PALLAS_BATCH or bsz % _MAX_PALLAS_BATCH != 0:
+        return None
+    nch = bsz // _MAX_PALLAS_BATCH
+    split = jax.tree.map(
+        lambda a: a.reshape((nch, _MAX_PALLAS_BATCH) + a.shape[1:]), args
+    )
+
+    def body(ch):
+        # the barrier pins the pallas layout copies INSIDE the loop body:
+        # without it XLA hoists them loop-invariantly and materializes
+        # full-batch padded copies (5.8x lane padding on the 22-wide
+        # operands) — the 31.5G-of-15.75G HBM OOM behind r03's
+        # pallas_b1024 failure
+        ch = jax.lax.optimization_barrier(ch)
+        return fn(*ch)
+
+    out = jax.lax.map(body, split)
+    return jax.tree.map(
+        lambda a: a.reshape((bsz,) + a.shape[2:]), out
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("refine_steps", "tb"))
 @named_scope("gar.pallas.backward")
 def backward_sweep_batched(
@@ -316,6 +352,12 @@ def backward_sweep_batched(
             zff=gains.zff[:, :, :0], Z=gains.Z[:, :, :0],
             Zth=gains.Zth[:, :, :0],
         ), vms
+    chunked = _chunked(
+        lambda k, m: backward_sweep_batched(k, m, refine_steps, tb),
+        knots, mueq,
+    )
+    if chunked is not None:
+        return chunked
     tb = tb or _pick_tb(Bsz)
     _check_tb(Bsz, tb)
     nbt = Bsz // tb
@@ -460,6 +502,12 @@ def forward_sweep_batched(
         )
         xs, us, vs, lbds = forward_sweep_batched(gains, vms, x0, lbd0, tb)
         return xs, us, vs[:, :, :0], lbds
+    chunked = _chunked(
+        lambda g, v, x, l: forward_sweep_batched(g, v, x, l, tb),
+        gains, vms, x0, lbd0,
+    )
+    if chunked is not None:
+        return chunked
     tb = tb or _pick_tb(Bsz)
     _check_tb(Bsz, tb)
     nbt = Bsz // tb
