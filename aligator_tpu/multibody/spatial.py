@@ -156,7 +156,14 @@ def so3_log(R: jax.Array) -> jax.Array:
     w = jnp.stack(
         [w_skew[..., 2, 1], w_skew[..., 0, 2], w_skew[..., 1, 0]], axis=-1
     )
-    near0 = cos_th > 1.0 - 1e-8
+    # θ ≤ ~1.4e-3 takes the series branch. The margin must be ≥ the
+    # dtype's spacing at 1.0: with the old 1e-8 margin, f32 rounds
+    # 1.0 − 1e-8 to exactly 1.0 and the guard NEVER fires at identity —
+    # scale = 0/0 poisoned every f32 contact-anchor error (the r03/r04
+    # f32-talos NaN). 1e-6 also beats arccos numerically in f64: the
+    # series truncation is O((1−cos θ)³) while arccos near 1 loses half
+    # the significant digits.
+    near0 = cos_th >= 1.0 - 1e-6
     cos_safe = jnp.where(near0, 0.0, cos_th)
     th = jnp.arccos(cos_safe)
     sin_safe = jnp.where(near0, 1.0, jnp.sin(th))

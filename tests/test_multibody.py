@@ -197,3 +197,35 @@ def test_vmap_batch_dynamics():
     # spot-check one element against the unbatched path
     a0 = mb.fwd_dynamics(model, qs[0], vs[0], taus[0])
     np.testing.assert_allclose(np.asarray(accs[0]), np.asarray(a0), atol=1e-10)
+
+
+def test_so3_log_f32_identity_exact():
+    """f32 regression for the r03/r04 talos NaN: at an EXACT identity
+    rotation the old near-identity guard (`cos_th > 1 − 1e-8`) never
+    fired in float32 — 1.0 − 1e-8 rounds to 1.0 — so scale = 0/0 poisoned
+    every contact-anchor error and frame-placement cost. Exact identity,
+    f32-rounded near-identity, and moderate rotations must all be finite
+    in BOTH dtypes, values matching f64."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from aligator_tpu.multibody.spatial import so3_log
+
+    def rot_x(t, dtype):
+        c, s = np.cos(t), np.sin(t)
+        return jnp.asarray([[1, 0, 0], [0, c, -s], [0, s, c]], dtype)
+
+    for dtype in (jnp.float32, jnp.float64):
+        eye = jnp.eye(3, dtype=dtype)
+        assert bool(jnp.all(jnp.isfinite(so3_log(eye)))), dtype
+        np.testing.assert_allclose(np.asarray(so3_log(eye)), 0.0, atol=1e-12)
+        for t in (1e-7, 1e-5, 1e-3, 0.3, 2.0):
+            w = so3_log(rot_x(t, dtype))
+            assert bool(jnp.all(jnp.isfinite(w))), (dtype, t)
+            np.testing.assert_allclose(
+                np.asarray(w), [t, 0.0, 0.0],
+                atol=(1e-6 if dtype == jnp.float32 else 1e-12), rtol=1e-5,
+            )
+        # gradients finite at identity too (AD through contact errors)
+        g = jax.grad(lambda R: jnp.sum(so3_log(R) ** 2))(eye)
+        assert bool(jnp.all(jnp.isfinite(g)))
