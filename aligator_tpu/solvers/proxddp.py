@@ -138,6 +138,15 @@ class ProxDDPSettings:
     # misc
     mu_dyn_scale: float = 0.1  # mu_dyn() = 0.1 * mu (solver-proxddp.hpp:313)
     riccati_refine: int = 1
+    # Full-KKT iterative refinement of the LQ direction (rounds): the
+    # residual of the whole horizon KKT system is accumulated in f64
+    # (when x64 is enabled) and the correction re-solved in working
+    # precision. This is THE f32 enabler for stiff problems: the f32
+    # Riccati leaves costate error ~eps·cond(V)·|λ| (measured ~4 absolute
+    # on talos-walk with 1e4 cost weights, λ~2.4e3), which no amount of
+    # stage-local refinement (riccati_refine) can remove. Each round
+    # costs one extra LQ solve. 0 = off (f64 default path needs none).
+    lq_refine_full: int = 0
     # debug mode (reference ALIGATOR_RAISE_IF_NAN, fwd.hpp:19-25 and
     # solver-proxddp.hxx:641): when True, checkify.check guards are traced
     # at the reference's raise points — problem evaluation at the accepted
@@ -469,9 +478,44 @@ def _build_lq(
 
 
 def _solve_lq(s: ProxDDPSettings, lq: LQRProblem, mu):
-    """→ ((dxs, dus, dvs, dlams), gains-or-None). Named scopes = the
-    reference's Tracy zones (SURVEY §5.1): they label these phases in
-    jax.profiler / XProf traces."""
+    """→ ((dxs, dus, dvs, dlams), gains-or-None), with optional
+    full-KKT mixed-precision iterative refinement (lq_refine_full)."""
+    sol, gains = _solve_lq_once(s, lq, mu)
+    if s.lq_refine_full > 0:
+        from aligator_tpu.gar.utils import lqr_kkt_residuals
+
+        dt = lq.Q.dtype
+        hi = jnp.float64 if jax.config.jax_enable_x64 else dt
+        lq_hi = jax.tree.map(lambda a: a.astype(hi), lq)
+        for _ in range(s.lq_refine_full):
+            dxs, dus, dvs, dlams = sol
+            with jax.named_scope("proxddp.riccati.full_refine"):
+                # residual accumulated in f64 when available (the f32
+                # Riccati factorization error leaves costate noise
+                # ~eps·cond(V)·|λ| — an f32 residual could not see past
+                # its own eps·|K|·|z| evaluation noise), then the
+                # correction is solved in working precision with the
+                # same LQ solver: K δ = −res, new = old + δ
+                res_hi = lqr_kkt_residuals(
+                    lq_hi,
+                    dxs.astype(hi), dus.astype(hi),
+                    dvs.astype(hi), dlams.astype(hi),
+                    mueq=jnp.asarray(mu, hi),
+                )
+                res_lq = lq.replace(
+                    q=res_hi.q.astype(dt), r=res_hi.r.astype(dt),
+                    d=res_hi.d.astype(dt), f=res_hi.f.astype(dt),
+                    g0=res_hi.g0.astype(dt),
+                )
+                (cx, cu, cv, cl), _ = _solve_lq_once(s, res_lq, mu)
+            sol = (dxs + cx, dus + cu, dvs + cv, dlams + cl)
+    return sol, gains
+
+
+def _solve_lq_once(s: ProxDDPSettings, lq: LQRProblem, mu):
+    """One LQ solve → ((dxs, dus, dvs, dlams), gains-or-None). Named
+    scopes = the reference's Tracy zones (SURVEY §5.1): they label these
+    phases in jax.profiler / XProf traces."""
     with jax.named_scope("proxddp.riccati"):
         parallel = s.lq_solver == "parallel" or (
             s.lq_solver == "serial" and s.lq_num_legs and s.lq_num_legs > 1

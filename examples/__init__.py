@@ -4,15 +4,16 @@ import os
 
 
 def _cpu_fusion_workaround() -> None:
-    """XLA:CPU fusion-emitter miscompilation workaround (see
-    tests/conftest.py for the full story): the fusion emitters corrupt
-    in-loop values on this CPU stack, stalling solves that converge with
-    fusion emitters disabled. Must be set before the backend initializes;
-    a no-op for the TPU backend."""
+    """XLA:CPU miscompilation workaround (see tests/conftest.py for the
+    full story): the default optimization level corrupts in-loop solver
+    values on this CPU stack (two independent reproducers, one with
+    fusion emitters on, one with them off); optimization level 0 fixes
+    both. Must be set before the backend initializes; a no-op for the
+    TPU backend."""
     flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_cpu_use_fusion_emitters" not in flags:
+    if "xla_backend_optimization_level" not in flags:
         os.environ["XLA_FLAGS"] = (
-            flags + " --xla_cpu_use_fusion_emitters=false"
+            flags + " --xla_backend_optimization_level=0"
         ).strip()
 
 

@@ -13,17 +13,19 @@ import os
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
-# XLA:CPU fusion-emitter miscompilation workaround: on this box the
-# fusion emitters corrupt values inside the solver while-loop (observed
-# jax 0.9: the merit directional derivative came out NaN in some
-# compilations — toggled by carry-buffer-size-only changes like
-# record_history — so the linesearch rejected perfect Newton steps and
-# ProxDDP stalled on a trivial f64 LQR; ground-truth straight-line
-# replication of the same math converges in 1 step). Disabling the
-# fusion emitters restores correct numerics. TPU is a different backend
-# and unaffected.
-if "xla_cpu_use_fusion_emitters" not in _flags:
-    _flags = (_flags + " --xla_cpu_use_fusion_emitters=false").strip()
+# XLA:CPU miscompilation workaround: this box's XLA:CPU build
+# miscompiles solver programs at the default optimization level — two
+# independent reproducers: (a) with fusion emitters ON, the merit
+# directional derivative came out NaN in some compilations of the
+# single-device solver (toggled by carry-buffer-size-only changes like
+# record_history), stalling a trivial f64 LQR that a straight-line
+# replication of the same math solves in 1 step; (b) with fusion
+# emitters OFF, the SPMD-sharded batched solver stalled instead
+# (dual 0.8 vs 3e-15). --xla_backend_optimization_level=0 fixes both.
+# Correctness > CPU speed in CI; the TPU backend is separate and
+# unaffected.
+if "xla_backend_optimization_level" not in _flags:
+    _flags = (_flags + " --xla_backend_optimization_level=0").strip()
 os.environ["XLA_FLAGS"] = _flags
 os.environ["JAX_PLATFORMS"] = "cpu"
 
