@@ -147,6 +147,18 @@ class ProxDDPSettings:
     # stage-local refinement (riccati_refine) can remove. Each round
     # costs one extra LQ solve. 0 = off (f64 default path needs none).
     lq_refine_full: int = 0
+    # Cost normalization (the other half of the f32 story): the solver
+    # internally multiplies the cost (values, gradients, Hessians) by
+    # this factor — mathematically the same optimum, but the multipliers
+    # scale with it. With 1e4-magnitude cost weights (talos-walk) the
+    # costates are |λ|~2.4e3 and an ABSOLUTE dual tolerance of 1e-4
+    # demands relative accuracy 4e-8 < f32 eps: unreachable for ANY
+    # algorithm that stores λ in f32 (quantizing λ alone perturbs Aᵀλ by
+    # ~1e-3). Normalizing the cost to O(1) weights brings |λ| to O(1)
+    # and the 1e-4 dual tolerance back inside f32's reach. Convergence
+    # is measured in SCALED units; reported traj_cost and multipliers
+    # are unscaled back to problem units.
+    cost_scale: float = 1.0
     # debug mode (reference ALIGATOR_RAISE_IF_NAN, fwd.hpp:19-25 and
     # solver-proxddp.hxx:641): when True, checkify.check guards are traced
     # at the reference's raise points — problem evaluation at the accepted
@@ -600,9 +612,13 @@ def solve(
     xs0 = jnp.concatenate([problem.x0[None], xs0[1:]], axis=0)
     dt = xs0.dtype
 
-    vs0 = jnp.zeros((N, nc), dt) if vs_init is None else jnp.asarray(vs_init)
+    # warm-started multipliers arrive in problem units → scale into the
+    # internal cost-normalized units (cost_scale)
+    _g0 = jnp.asarray(s.cost_scale, dt)
+    vs0 = jnp.zeros((N, nc), dt) if vs_init is None else jnp.asarray(vs_init) * _g0
     vsT0 = jnp.zeros((nct,), dt)
-    lams0 = jnp.zeros((N + 1, ndx), dt) if lams_init is None else jnp.asarray(lams_init)
+    lams0 = (jnp.zeros((N + 1, ndx), dt) if lams_init is None
+             else jnp.asarray(lams_init) * _g0)
 
     target_tol = jnp.asarray(s.tol if tol is None else tol, dt)
     if s.dual_tol is not None:
@@ -642,6 +658,35 @@ def solve(
     )
 
     # ------------------------------------------------------------------
+    # internal cost normalization (see ProxDDPSettings.cost_scale): all
+    # cost-derived quantities are scaled; dynamics/constraint values and
+    # Jacobians untouched. Results are unscaled on return.
+    _gam = s.cost_scale
+
+    def _evaluate(problem_, xs_, us_):
+        from aligator_tpu.problem import evaluate as _eval_raw
+
+        data = _eval_raw(problem_, xs_, us_)
+        if _gam != 1.0:
+            g = jnp.asarray(_gam, data.costs.dtype)
+            data = data._replace(costs=data.costs * g,
+                                 term_cost=data.term_cost * g)
+        return data
+
+    def _compute_derivatives(problem_, xs_, us_):
+        from aligator_tpu.problem import (
+            compute_derivatives as _derivs_raw,
+        )
+
+        derivs = _derivs_raw(problem_, xs_, us_)
+        if _gam != 1.0:
+            g = jnp.asarray(_gam, derivs.Lx.dtype)
+            derivs = derivs._replace(
+                Lx=derivs.Lx * g, Lu=derivs.Lu * g,
+                Lxx=derivs.Lxx * g, Lxu=derivs.Lxu * g, Luu=derivs.Luu * g,
+            )
+        return derivs
+
     def eval_point(pt: Point, prev_vs, prev_vs_term, mu):
         with jax.named_scope("proxddp.evaluate"):
             data = _evaluate(problem, pt.xs, pt.us)
@@ -1012,11 +1057,16 @@ def solve(
 
     st = jax.lax.while_loop(outer_cond, outer_body, state0)
 
+    # unscale cost-derived outputs back to problem units (cost_scale);
+    # prim/dual infeasibilities stay in the SCALED units the solver
+    # converged in (documented on the setting)
+    inv_g = jnp.asarray(1.0 / s.cost_scale, dt)
     return ProxDDPResults(
-        xs=st.pt.xs, us=st.pt.us, vs=st.pt.vs, vs_term=st.pt.vs_term,
-        lams=st.pt.lams, conv=st.conv,
+        xs=st.pt.xs, us=st.pt.us,
+        vs=st.pt.vs * inv_g, vs_term=st.pt.vs_term * inv_g,
+        lams=st.pt.lams * inv_g, conv=st.conv,
         prim_infeas=st.prim_infeas, dual_infeas=st.dual_infeas,
-        traj_cost=st.traj_cost, merit_value=st.merit,
+        traj_cost=st.traj_cost * inv_g, merit_value=st.merit,
         num_iters=st.iters, al_iter=st.al_iter, mu_final=st.mu,
         history=st.hist,
         history_xs=st.hist_xs, history_us=st.hist_us, history_lams=st.hist_lams,

@@ -286,6 +286,79 @@ def bench_cpu_baseline():
     return 1.0 / dt
 
 
+TALOS_TSS = 60
+TALOS_TDS = 25  # DS(25)+SS(60)+DS(25)+SS(60)+DS(25) => N = 195 (reference
+# talos-walk.cpp T_ss=60 config; bench/talos-walk.cpp:20-56)
+TALOS_BATCH = 16
+TALOS_TOL = 1e-4
+# f32 dual floor: convergence is measured on the cost-normalized problem
+# (ProxDDPSettings.cost_scale — see BASELINE.md "f32 accuracy" notes)
+TALOS_COST_SCALE = 1e-4
+TALOS_DUAL_TOL = 1e-3
+
+
+def bench_talos_walk():
+    """The reference's flagship workload on the chip (VERDICT r3 items
+    1-2): batched f32 talos-walk solves to convergence + p50 single-solve
+    latency vs the 10 ms real-time budget. Convergence is asserted for
+    every scenario — non-convergence poisons the metric exactly like the
+    reference's SkipWithError (bench/talos-walk.cpp:50-54)."""
+    from examples.talos_walk import create_walk_problem
+
+    problem, model = create_walk_problem(TALOS_TSS, TALOS_TDS,
+                                         dtype=jnp.float32)
+    settings = ProxDDPSettings(
+        tol=TALOS_TOL, dual_tol=TALOS_DUAL_TOL, mu_init=1e-8, max_iters=40,
+        riccati_refine=1, cost_scale=TALOS_COST_SCALE, lq_refine_full=1,
+    )
+    nv = model.nv
+    rng = np.random.default_rng(7)
+    # scenario sweep: perturbed initial joint velocities (MPC disturbance
+    # rejection setting)
+    dv = 0.01 * rng.standard_normal((TALOS_BATCH, nv)).astype(np.float32)
+    x0s = jnp.asarray(
+        np.concatenate(
+            [np.tile(np.asarray(problem.x0[: problem.x0.shape[0] - nv]),
+                     (TALOS_BATCH, 1)),
+             np.asarray(problem.x0[problem.x0.shape[0] - nv:]) + dv],
+            axis=1,
+        ), jnp.float32,
+    )
+    solve = jax.jit(
+        jax.vmap(lambda x0: proxddp_solve(problem.replace_x0(x0), settings))
+    )
+    res = solve(x0s)
+    conv = np.asarray(res.conv)
+    n_conv = int(conv.sum())
+    jax.block_until_ready(res.xs)
+    n_rep = 3
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        res = solve(x0s)
+    jax.block_until_ready(res.xs)
+    rate = TALOS_BATCH * n_rep / (time.perf_counter() - t0)
+
+    # p50 single-solve latency (B=1) vs the RT budget
+    solve1 = jax.jit(
+        lambda x0: proxddp_solve(problem.replace_x0(x0), settings).xs
+    )
+    xs1 = solve1(x0s[0])
+    jax.block_until_ready(xs1)
+    lats = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        jax.block_until_ready(solve1(x0s[0]))
+        lats.append(time.perf_counter() - t0)
+    p50 = float(np.median(lats)) * 1e3
+    return {
+        "talos_walk_solves_per_sec_chip": round(rate, 2),
+        "talos_walk_converged": f"{n_conv}/{TALOS_BATCH}",
+        "talos_walk_nsteps": int(problem.nsteps),
+        "talos_walk_p50_solve_latency_ms": round(p50, 2),
+        "talos_walk_rt_budget_ms": 10.0,
+    }
+
+
 def main():
     (tpu_rate, best_cfg), sweep = bench_tpu()
     cpu_rate = bench_cpu_baseline()
@@ -293,6 +366,10 @@ def main():
         cpp_single, cpp_multi = bench_cpu_baseline_cpp()
     except Exception:  # no g++ — fall back to the numpy figure
         cpp_single, cpp_multi = cpu_rate, cpu_rate
+    try:
+        talos = bench_talos_walk()
+    except Exception as e:
+        talos = {"talos_walk": f"failed: {type(e).__name__}: {str(e)[:120]}"}
     flops = _riccati_flops_per_solve()
     tflops = tpu_rate * flops / 1e12
     out = {
@@ -311,6 +388,7 @@ def main():
             "numpy_f64_baseline_solves_per_sec": round(cpu_rate, 3),
             "cpp_o3_baseline_solves_per_sec_1thread": round(cpp_single, 3),
             "cpp_o3_baseline_solves_per_sec_allcores": round(cpp_multi, 3),
+            **talos,
         },
     }
     print(json.dumps(out))
