@@ -166,23 +166,23 @@ def _kkt_solve(Rh, D, mu, b1, b2, refine_steps):
     in-kernel equivalent of linalg.schur.kkt_solve_refined.
     mu: (TB,); b1: (TB, nu, m); b2: (TB, nc, m)."""
     nc = D.shape[-2]
-    chol_R = _chol(Rh)
+    chol_R = _chol_b(Rh)
     Dt = jnp.swapaxes(D, -1, -2)
-    # one wide substitution chain for [R⁻¹Dᵀ | R⁻¹b1] — the unrolled
-    # solves are step-count-bound, so rhs are batched into one pass
-    joint = _cho_solve(chol_R, jnp.concatenate([Dt, b1], axis=2))
+    # one wide substitution chain for [R⁻¹Dᵀ | R⁻¹b1] — the solves are
+    # chain-latency-bound, so rhs are batched into one blocked pass
+    joint = _cho_solve_b(chol_R, jnp.concatenate([Dt, b1], axis=2))
     RiDt, Rib1 = joint[:, :, :nc], joint[:, :, nc:]
     eye = (
         jax.lax.broadcasted_iota(jnp.int32, (nc, nc), 0)
         == jax.lax.broadcasted_iota(jnp.int32, (nc, nc), 1)
     ).astype(Rh.dtype)
     S = mu[:, None, None] * eye + _bmm(D, RiDt)
-    chol_S = _chol(0.5 * (S + jnp.swapaxes(S, -1, -2)))
+    chol_S = _chol_b(0.5 * (S + jnp.swapaxes(S, -1, -2)))
 
     def solve(c1, c2, Ric1=None):
         if Ric1 is None:
-            Ric1 = _cho_solve(chol_R, c1)
-        z = _cho_solve(chol_S, _bmm(D, Ric1) - c2)
+            Ric1 = _cho_solve_b(chol_R, c1)
+        z = _cho_solve_b(chol_S, _bmm(D, Ric1) - c2)
         k = Ric1 - _bmm(RiDt, z)
         return k, z
 
@@ -194,6 +194,146 @@ def _kkt_solve(Rh, D, mu, b1, b2, refine_steps):
         k = k + dk
         z = z + dz
     return k, z
+
+
+# ---------------------------------------------------------------------------
+# Blocked (8-wide) in-kernel solves — the chain-latency fix.
+#
+# The unrolled _chol/_fwd_sub/_bwd_sub run O(n) sequential VPU steps per
+# factor/solve; at n=22..79 per stage × 101 stages × batch tiles this is
+# what keeps the chip 99% idle (docs/trace_analysis_r4.md). The blocked
+# versions cut the sequential chain ~2.5×: all 8×8 diagonal blocks are
+# inverted IN PARALLEL (one 8-step unrolled substitution over a (TB, nb,
+# 8, 8) stack), and the per-block off-diagonal updates become MXU
+# matmuls. Small n (≤ _BLK_MIN) keeps the unrolled path.
+# ---------------------------------------------------------------------------
+
+_BLK = 8
+_BLK_MIN = 12
+
+
+def _inv_lower_all(L):
+    """Inverses of a stack of lower-triangular k×k blocks.
+    L: (..., nb, k, k) → (..., nb, k, k); unrolled forward substitution
+    on the identity — chain length k regardless of nb. Rows/diagonals are
+    extracted with one-hot mask reductions, NOT integer indexing: on
+    rank-4 operands Mosaic lowers double indexing to a >2D gather and
+    rejects the kernel ("Only 2D gather is supported")."""
+    k = L.shape[-1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)  # (1, k)
+    eye_rows = [
+        (iota == j).astype(L.dtype)[0] for j in range(k)
+    ]  # each (k,)
+    X = jnp.zeros_like(L)
+    for j in range(k):
+        ej = eye_rows[j]
+        row_j = jnp.sum(L * ej[:, None], axis=-2)  # (..., nb, k) = L[..., j, :]
+        acc = jnp.sum(row_j[..., :, None] * X, axis=-2)  # (..., nb, k)
+        diag_j = jnp.sum(row_j * ej, axis=-1, keepdims=True)
+        xj = (ej - acc) / diag_j
+        X = X + xj[..., None, :] * ej[:, None]
+    return X
+
+
+def _pad_square_identity(A, npad):
+    """Pad (TB, n, n) → (TB, n+npad, n+npad) with an identity tail block
+    (so Cholesky/solves of the padded matrix embed the original)."""
+    if npad == 0:
+        return A
+    n = A.shape[-1]
+    A = jnp.pad(A, ((0, 0), (0, npad), (0, npad)))
+    m = n + npad
+    r = jax.lax.broadcasted_iota(jnp.int32, (m, m), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (m, m), 1)
+    tail_eye = ((r == c) & (r >= n)).astype(A.dtype)
+    return A + tail_eye
+
+
+def _diag_blocks(L, nb):
+    """Stack the nb diagonal 8×8 blocks of (TB, nb·8, nb·8)."""
+    return jnp.stack(
+        [L[:, 8 * j : 8 * j + 8, 8 * j : 8 * j + 8] for j in range(nb)],
+        axis=1,
+    )
+
+
+def _chol_b(A):
+    """Blocked lower Cholesky of (TB, n, n) SPD. Chain per block: 8-step
+    diagonal factor + 8-step diagonal inverse + MXU GEMM updates."""
+    n = A.shape[-1]
+    if n <= _BLK_MIN:
+        return _chol(A)
+    nb = -(-n // _BLK)
+    npad = nb * _BLK - n
+    Ap = _pad_square_identity(A, npad)
+    m = nb * _BLK
+    L = jnp.zeros_like(Ap)
+    for j in range(nb):
+        sl = slice(_BLK * j, _BLK * (j + 1))
+        Lrow = L[:, sl, :]  # (TB, 8, m); cols ≥ current block still zero
+        Sjj = Ap[:, sl, sl] - _bmm(Lrow, jnp.swapaxes(Lrow, -1, -2))
+        Ljj = _chol(Sjj)  # (TB, 8, 8), 8-step unrolled
+        inv_j = _inv_lower_all(Ljj[:, None])[:, 0]  # (TB, 8, 8)
+        new_rows = jnp.pad(Ljj, ((0, 0), (0, 0), (_BLK * j, m - _BLK * (j + 1))))
+        if j + 1 < nb:
+            below = slice(_BLK * (j + 1), m)
+            Lbelow = L[:, below, :]
+            P = Ap[:, below, sl] - _bmm(Lbelow, jnp.swapaxes(Lrow, -1, -2))
+            Lpan = _bmm(P, jnp.swapaxes(inv_j, -1, -2))  # (TB, rest, 8)
+            pan_rows = jnp.pad(
+                Lpan, ((0, 0), (_BLK * (j + 1), 0), (_BLK * j, m - _BLK * (j + 1)))
+            )
+        else:
+            pan_rows = jnp.zeros_like(L)
+        row_pad = jnp.pad(new_rows, ((0, 0), (_BLK * j, m - _BLK * (j + 1)), (0, 0)))
+        L = L + row_pad + pan_rows
+    return L[:, :n, :n] if npad else L
+
+
+def _fwd_sub_b(L, B):
+    """Blocked solve L Y = B; L (TB, n, n) lower, B (TB, n, m)."""
+    n = L.shape[-1]
+    if n <= _BLK_MIN:
+        return _fwd_sub(L, B)
+    nb = -(-n // _BLK)
+    npad = nb * _BLK - n
+    Lp = _pad_square_identity(L, npad)
+    Bp = jnp.pad(B, ((0, 0), (0, npad), (0, 0))) if npad else B
+    m = nb * _BLK
+    inv = _inv_lower_all(_diag_blocks(Lp, nb))  # (TB, nb, 8, 8)
+    Y = jnp.zeros_like(Bp)
+    for j in range(nb):
+        sl = slice(_BLK * j, _BLK * (j + 1))
+        acc = _bmm(Lp[:, sl, :], Y)  # rows ≥ sl still zero ⇒ exact
+        yj = _bmm(inv[:, j], Bp[:, sl, :] - acc)
+        Y = Y + jnp.pad(yj, ((0, 0), (_BLK * j, m - _BLK * (j + 1)), (0, 0)))
+    return Y[:, :n, :] if npad else Y
+
+
+def _bwd_sub_b(L, B):
+    """Blocked solve Lᵀ Y = B."""
+    n = L.shape[-1]
+    if n <= _BLK_MIN:
+        return _bwd_sub(L, B)
+    nb = -(-n // _BLK)
+    npad = nb * _BLK - n
+    Lp = _pad_square_identity(L, npad)
+    Bp = jnp.pad(B, ((0, 0), (0, npad), (0, 0))) if npad else B
+    m = nb * _BLK
+    Ut = jnp.swapaxes(Lp, -1, -2)  # upper
+    inv = _inv_lower_all(_diag_blocks(Lp, nb))  # lower inverses
+    Y = jnp.zeros_like(Bp)
+    for j in range(nb - 1, -1, -1):
+        sl = slice(_BLK * j, _BLK * (j + 1))
+        acc = _bmm(Ut[:, sl, :], Y)  # rows ≤ sl still zero ⇒ exact
+        # diagonal solve: Ljjᵀ yj = rhs ⇒ yj = inv(Ljj)ᵀ rhs
+        yj = _bmT(inv[:, j], Bp[:, sl, :] - acc)
+        Y = Y + jnp.pad(yj, ((0, 0), (_BLK * j, m - _BLK * (j + 1)), (0, 0)))
+    return Y[:, :n, :] if npad else Y
+
+
+def _cho_solve_b(L, B):
+    return _bwd_sub_b(L, _fwd_sub_b(L, B))
 
 
 # ---------------------------------------------------------------------------
