@@ -250,9 +250,10 @@ def _pad_square_identity(A, npad):
 
 
 def _diag_blocks(L, nb):
-    """Stack the nb diagonal 8×8 blocks of (TB, nb·8, nb·8)."""
+    """Stack the nb diagonal _BLK×_BLK blocks of (TB, nb·_BLK, nb·_BLK)."""
     return jnp.stack(
-        [L[:, 8 * j : 8 * j + 8, 8 * j : 8 * j + 8] for j in range(nb)],
+        [L[:, _BLK * j : _BLK * (j + 1), _BLK * j : _BLK * (j + 1)]
+         for j in range(nb)],
         axis=1,
     )
 
@@ -410,8 +411,13 @@ def _backward_kernel(
     vc[:] = vx
 
 
-def _pick_tb(bsz: int) -> int:
-    for tb in (32, 16, 8, 4, 2, 1):
+def _pick_tb(bsz: int, nx: int = 56) -> int:
+    """Largest batch tile that fits: tb=64 compiles and measures fastest
+    with the blocked solves at nx<=64 (the unblocked kernel's chain
+    temporaries used to blow the scoped-VMEM budget there); larger
+    states fall back to 32-wide tiles."""
+    tbs = (64, 32, 16, 8, 4, 2, 1) if nx <= 64 else (32, 16, 8, 4, 2, 1)
+    for tb in tbs:
         if bsz % tb == 0:
             return tb
     return 1
@@ -498,7 +504,7 @@ def backward_sweep_batched(
     )
     if chunked is not None:
         return chunked
-    tb = tb or _pick_tb(Bsz)
+    tb = tb or _pick_tb(Bsz, nx)
     _check_tb(Bsz, tb)
     nbt = Bsz // tb
     nmax = max(nx, nu, nc)
@@ -648,7 +654,7 @@ def forward_sweep_batched(
     )
     if chunked is not None:
         return chunked
-    tb = tb or _pick_tb(Bsz)
+    tb = tb or _pick_tb(Bsz, nx)
     _check_tb(Bsz, tb)
     nbt = Bsz // tb
     nmax = max(nx, nu, nc)
