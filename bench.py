@@ -126,7 +126,12 @@ def bench_tpu():
     sweep = {}
     best = (0.0, None)
     for lq_solver in LQ_SOLVERS:
-        for batch in BATCHES:
+        # assoc/parallel are characterized at b64 only: they are the
+        # latency-oriented solvers (log-depth / leg-parallel) and lose to
+        # serial/pallas on throughput; bounding the sweep keeps the
+        # driver's bench run under its budget
+        batches = BATCHES if lq_solver in ("serial", "pallas") else (64,)
+        for batch in batches:
             try:
                 rate, prim = _bench_config(problem, batch, lq_solver)
             except Exception as e:  # OOM etc. — record and continue
