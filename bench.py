@@ -126,11 +126,15 @@ def bench_tpu():
     sweep = {}
     best = (0.0, None)
     for lq_solver in LQ_SOLVERS:
-        # assoc/parallel are characterized at b64 only: they are the
-        # latency-oriented solvers (log-depth / leg-parallel) and lose to
-        # serial/pallas on throughput; bounding the sweep keeps the
-        # driver's bench run under its budget
-        batches = BATCHES if lq_solver in ("serial", "pallas") else (64,)
+        # assoc/parallel are characterized at b64 only (latency-oriented
+        # solvers); pallas caps at b512 — the b1024 solver path cannot
+        # exist on one chip (the lane-padded knots alone exceed HBM,
+        # docs/trace_analysis_r4.md) and the failed attempt FAULTS the
+        # device, poisoning every subsequent metric in the process
+        batches = {
+            "serial": BATCHES,
+            "pallas": (64, 256, 512),
+        }.get(lq_solver, (64,))
         for batch in batches:
             try:
                 rate, prim = _bench_config(problem, batch, lq_solver)
@@ -396,12 +400,8 @@ def bench_mpc_cycle():
 
 
 def main():
-    (tpu_rate, best_cfg), sweep = bench_tpu()
-    cpu_rate = bench_cpu_baseline()
-    try:
-        cpp_single, cpp_multi = bench_cpu_baseline_cpp()
-    except Exception:  # no g++ — fall back to the numpy figure
-        cpp_single, cpp_multi = cpu_rate, cpu_rate
+    # headline workloads FIRST: a failed sweep config can fault the TPU
+    # device and poison everything after it
     try:
         talos = bench_talos_walk()
     except Exception as e:
@@ -410,6 +410,12 @@ def main():
         talos.update(bench_mpc_cycle())
     except Exception as e:
         talos["mpc_cycle"] = f"failed: {type(e).__name__}: {str(e)[:120]}"
+    (tpu_rate, best_cfg), sweep = bench_tpu()
+    cpu_rate = bench_cpu_baseline()
+    try:
+        cpp_single, cpp_multi = bench_cpu_baseline_cpp()
+    except Exception:  # no g++ — fall back to the numpy figure
+        cpp_single, cpp_multi = cpu_rate, cpu_rate
     flops = _riccati_flops_per_solve()
     tflops = tpu_rate * flops / 1e12
     out = {
