@@ -117,3 +117,27 @@ def test_momentum_residuals():
     np.testing.assert_allclose(
         np.asarray(rv), np.asarray(h[:3]) / float(jnp.sum(model.mass)), atol=1e-10
     )
+
+
+def test_humanoid_squat_example():
+    """Kinodynamics-layer runnable example: the humanoid dips its CoM by
+    the commanded 5 cm under force+acceleration controls (slow-tier
+    integration gate; mirrors the reference's examples-as-tests)."""
+    import pytest
+
+    pytest.importorskip("examples.humanoid_squat")
+    from examples.humanoid_squat import DIP, create_squat_problem
+    from aligator_tpu.solvers import ProxDDPSettings, proxddp_solve
+
+    problem, model, com0 = create_squat_problem()
+    s = ProxDDPSettings(tol=1e-4, mu_init=1e-2, max_iters=100, cost_scale=1e-2)
+    res = jax.jit(lambda p: proxddp_solve(p, s))(problem)
+    assert bool(res.conv)
+    qN = res.xs[-1][: model.nq]
+    comN = mb.com_position(model, qN)
+    assert abs(float(com0[2] - comN[2]) - DIP) < 5e-3
+
+
+test_humanoid_squat_example = __import__("pytest").mark.slow(
+    test_humanoid_squat_example
+)
