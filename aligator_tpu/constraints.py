@@ -108,17 +108,21 @@ class BoxConstraint(ConstraintSet):
 
 @dataclasses.dataclass(frozen=True)
 class L1Penalty(ConstraintSet):
-    """Composite ℓ1 penalty ‖r‖₁ via soft-thresholding prox
-    (constraints/l1-penalty.hpp)."""
+    """Composite ℓ1 penalty λ‖r‖₁ via soft-thresholding prox
+    (constraints/l1-penalty.hpp); ``scale`` is the penalty weight λ
+    (prox_{µλ|·|}(z) = sign(z)·max(|z| − µλ, 0))."""
+
+    scale: float = 1.0
 
     def evaluate(self, zproj):
-        return jnp.sum(jnp.abs(zproj), axis=-1)
+        return self.scale * jnp.sum(jnp.abs(zproj), axis=-1)
 
     def projection(self, z, mu):
-        return jnp.sign(z) * jnp.maximum(jnp.abs(z) - mu, 0.0)
+        t = mu * self.scale
+        return jnp.sign(z) * jnp.maximum(jnp.abs(z) - t, 0.0)
 
     def active_set(self, z, mu):
-        return (jnp.abs(z) <= mu).astype(z.dtype)
+        return (jnp.abs(z) <= mu * self.scale).astype(z.dtype)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -446,11 +446,24 @@ _MAX_PALLAS_BATCH = 512
 def _chunked(fn, *args):
     """Split the leading batch axis of every array in ``args`` into
     chunks of ≤ _MAX_PALLAS_BATCH and lax.map ``fn`` over them. Returns
-    None if no chunking applies (caller runs the direct path)."""
+    None if no chunking applies (caller runs the direct path).
+
+    ANY batch > the cap is chunked: a non-divisible one (e.g. 640) is
+    first padded with copies of row 0 to the next multiple — falling
+    through to the direct path there would hit the very compile/HBM
+    failure the cap exists for (ADVICE r4 medium finding)."""
     bsz = jax.tree.leaves(args[0])[0].shape[0]
-    if bsz <= _MAX_PALLAS_BATCH or bsz % _MAX_PALLAS_BATCH != 0:
+    if bsz <= _MAX_PALLAS_BATCH:
         return None
-    nch = bsz // _MAX_PALLAS_BATCH
+    nch = -(-bsz // _MAX_PALLAS_BATCH)
+    npad = nch * _MAX_PALLAS_BATCH - bsz
+    if npad:
+        args = jax.tree.map(
+            lambda a: jnp.concatenate(
+                [a, jnp.broadcast_to(a[:1], (npad,) + a.shape[1:])]
+            ),
+            args,
+        )
     split = jax.tree.map(
         lambda a: a.reshape((nch, _MAX_PALLAS_BATCH) + a.shape[1:]), args
     )
@@ -466,7 +479,7 @@ def _chunked(fn, *args):
 
     out = jax.lax.map(body, split)
     return jax.tree.map(
-        lambda a: a.reshape((bsz,) + a.shape[2:]), out
+        lambda a: a.reshape((nch * _MAX_PALLAS_BATCH,) + a.shape[2:])[:bsz], out
     )
 
 

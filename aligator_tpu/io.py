@@ -99,18 +99,34 @@ from aligator_tpu.problem import TrajOptProblem, build_problem
 class _Ctx:
     """Parse context. ``mode`` selects how {"per_stage": ...} values are
     resolved: "first" → stage-0 representative (for building the tiled
-    problem), "full" → the whole (N, ...) array (for stamping)."""
+    problem), "full" → the whole (N, ...) array (for stamping).
+    ``nsteps`` (when known) validates per_stage lengths; ``where``
+    names positions that never get stamped (x0/term_cost/…) so a
+    per_stage value there is a hard error instead of a silent drop."""
 
     dtype: Any
     mode: str = "first"
     model: Any = None
     has_per_stage: bool = False
+    nsteps: Optional[int] = None
+    where: Optional[str] = None
 
 
 def _arr(v, ctx: _Ctx):
     if isinstance(v, dict) and "per_stage" in v:
-        ctx.has_per_stage = True
+        if ctx.where is not None:
+            raise ValueError(
+                f"'per_stage' is not allowed in {ctx.where}: these values "
+                "apply to a single (initial/terminal) node, never to the "
+                "running stages, and would be silently ignored"
+            )
         full = jnp.asarray(v["per_stage"], ctx.dtype)
+        if ctx.nsteps is not None and full.shape[0] != ctx.nsteps:
+            raise ValueError(
+                f"per_stage list has {full.shape[0]} entries, expected "
+                f"nsteps={ctx.nsteps}"
+            )
+        ctx.has_per_stage = True
         return full if ctx.mode == "full" else full[0]
     return jnp.asarray(v, ctx.dtype)
 
@@ -358,7 +374,7 @@ def _set_from_spec(s: dict):
     if t == "box":
         return S.BoxConstraint(lower=tuple(s["lower"]), upper=tuple(s["upper"]))
     if t == "l1":
-        return S.L1Penalty()
+        return S.L1Penalty(scale=float(s.get("scale", 1.0)))
     raise ValueError(f"unknown set type {t!r}")
 
 
@@ -500,20 +516,28 @@ def problem_from_spec(spec: dict | str, dtype=jnp.float64) -> TrajOptProblem:
     if isinstance(spec, str):
         spec = json.loads(spec)
     model = _model_from_spec(spec["model"], dtype) if "model" in spec else None
-    ctx = _Ctx(dtype=dtype, mode="first", model=model)
-    space = _space_from_spec(spec["space"], model)
     nu = int(spec["nu"])
     nsteps = int(spec["nsteps"])
+    ctx = _Ctx(dtype=dtype, mode="first", model=model, nsteps=nsteps)
+    space = _space_from_spec(spec["space"], model)
     dyn = _dynamics_from_spec(spec["dynamics"], ctx)
     cost = _cost_from_spec(spec["cost"], space, ctx)
-    tcost = _cost_from_spec(spec["term_cost"], space, ctx)
+    # single-node positions parse with a ctx that rejects per_stage values
+    # (they would never be stamped — ADVICE r4)
+    tctx = dataclasses.replace(ctx, where="term_cost")
+    tcost = _cost_from_spec(spec["term_cost"], space, tctx)
 
     def cstr_list(key, c):
         out = []
         for e in spec.get(key, []):
             res = _residual_from_spec(e["residual"], space, c)
             st = _set_from_spec(e["set"])
-            nr = int(e.get("nr") or len(e["residual"].get("target", [])) or 0)
+            tgt = e["residual"].get("target")
+            if isinstance(tgt, dict) and "per_stage" in tgt:
+                # len() of the wrapper dict is meaningless — infer the
+                # residual dim from one stage's value (ADVICE r4)
+                tgt = tgt["per_stage"][0]
+            nr = int(e.get("nr") or (len(tgt) if tgt is not None else 0))
             if nr == 0:
                 raise ValueError("constraint entry needs 'nr' or a 'target'")
             out.append((res, st, nr))
@@ -521,15 +545,19 @@ def problem_from_spec(spec: dict | str, dtype=jnp.float64) -> TrajOptProblem:
 
     cstrs = cstr_list("constraints", ctx)
     problem = build_problem(
-        space, nu, nsteps, _arr(spec["x0"], ctx), dyn, cost, tcost,
+        space, nu, nsteps,
+        _arr(spec["x0"], dataclasses.replace(ctx, where="x0")),
+        dyn, cost, tcost,
         constraints=cstrs,
-        term_constraints=cstr_list("term_constraints", ctx),
+        term_constraints=cstr_list(
+            "term_constraints", dataclasses.replace(ctx, where="term_constraints")
+        ),
     )
 
     if ctx.has_per_stage:
         # second pass: parse with the full (N, ...) arrays and stamp them
         # into the stacked stage pytrees (the talos-walk mechanism)
-        fctx = _Ctx(dtype=dtype, mode="full", model=model)
+        fctx = _Ctx(dtype=dtype, mode="full", model=model, nsteps=nsteps)
         dyn_f = _dynamics_from_spec(spec["dynamics"], fctx)
         cost_f = _cost_from_spec(spec["cost"], space, fctx)
         cstr_f = cstr_list("constraints", fctx)
@@ -656,6 +684,42 @@ def _residual_to_spec(r, nsteps: int, model_spec):
         return {"type": "centroidal_wrench_cone", "mu": float(r.mu),
                 "half_length": float(r.hL), "half_width": float(r.hW),
                 "k": int(r.k)}
+    if name == "CentroidalMomentumDerivativeResidual":
+        return {"type": "centroidal_momentum_derivative",
+                "frames": [r.model.frames[f].name for f in r.frame_ids],
+                "active": u(r.active), "force_size": int(r.force_size)}
+    if name == "CentroidalAccelerationResidual":
+        cm = r.contact_map
+        return {"type": "centroidal_acceleration", "mass": u(r.mass),
+                "gravity": u(r.gravity), "force_size": int(r.force_size),
+                "contact_map": {"names": list(cm.names), "poses": u(cm.poses),
+                                "active": u(cm.active)}}
+    if name in ("ContactForceResidual", "MultibodyFrictionConeResidual",
+                "MultibodyWrenchConeResidual"):
+        base = {"contacts": _contacts_to_spec(r.contacts, nsteps),
+                "actuation": _actuation_to_spec(r.actuation, r.model),
+                "contact": r.contact_name}
+        if name == "ContactForceResidual":
+            return {"type": "contact_force", "fref": u(r.fref), **base}
+        if name == "MultibodyFrictionConeResidual":
+            return {"type": "friction_cone", "mu": u(r.mu), **base}
+        # wrench cone: the class stores only the built 17×6 Acone; recover
+        # (mu, hL, hW) from its fixed row structure (wrench_cone_matrix)
+        # and verify the rebuild — non-standard matrices are not exportable
+        import numpy as np
+
+        from aligator_tpu.functions.contact import wrench_cone_matrix
+
+        A = np.asarray(r.Acone)
+        if A.ndim == 3:  # tiled per-stage (N, 17, 6)
+            if not np.all(A == A[0]):
+                raise ValueError("cannot export a per-stage wrench-cone Acone")
+            A = A[0]
+        mu, hW, hL = float(-A[1, 2]), float(-A[5, 2]), float(-A[7, 2])
+        if not np.allclose(A, np.asarray(wrench_cone_matrix(mu, hL, hW))):
+            raise ValueError("cannot export a non-standard wrench-cone Acone")
+        return {"type": "wrench_cone", "mu": mu, "half_length": hL,
+                "half_width": hW, **base}
     raise ValueError(f"cannot export residual {name}")
 
 
@@ -668,7 +732,7 @@ def _set_to_spec(s):
     if name == "BoxConstraint":
         return {"type": "box", "lower": list(s.lower), "upper": list(s.upper)}
     if name == "L1Penalty":
-        return {"type": "l1"}
+        return {"type": "l1", "scale": float(s.scale)}
     raise ValueError(f"cannot export constraint set {name}")
 
 

@@ -345,7 +345,9 @@ def bench_talos_walk():
     for _ in range(n_rep):
         res = solve(x0s)
     jax.block_until_ready(res.xs)
-    rate = TALOS_BATCH * n_rep / (time.perf_counter() - t0)
+    # non-convergence poisons the metric (SkipWithError semantics): only
+    # converged scenarios count toward the published rate (ADVICE r4)
+    rate = n_conv * n_rep / (time.perf_counter() - t0)
 
     # p50 single-solve latency (B=1) vs the RT budget
     solve1 = jax.jit(
