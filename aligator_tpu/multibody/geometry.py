@@ -12,12 +12,19 @@ norms so distances stay AD-safe at touching configurations:
     (exact box SDF; the capsule case minimizes the SDF along the segment
     with a fixed-iteration ternary search + Danskin gradient);
   * anything/halfspace — ground/wall clearance (supports sphere,
-    capsule, box).
-
-Box/box is intentionally not implemented (GJK territory): model the
-*robot* side with spheres/capsules — the universal practice for
-real-time self-collision — and keep boxes/halfspaces for the static
-environment.
+    capsule, box, convex);
+  * convex/anything — arbitrary convex meshes as vertex clouds
+    (the reference gets these from coal geometry pairs,
+    frame-collision.hpp:28-40, e.g. examples/quadrotor_obstacles.py's
+    mug.obj): fixed-iteration Frank-Wolfe on the Minkowski difference
+    finds the separating direction n̂ (compiler-friendly: a lax.scan of
+    support queries, no data-dependent termination), and the distance is
+    re-evaluated in the DUAL support form d = min⟨n̂, W₁⟩ − max⟨n̂, W₂⟩
+    with n̂ under stop_gradient — Danskin's theorem makes the gradient
+    exact through the world vertex transforms. For overlapping sets the
+    dual form goes negative (an underestimate of the signed distance —
+    conservative for avoidance constraints). Box/box also routes through
+    this path via the corner cloud.
 """
 
 from __future__ import annotations
@@ -36,10 +43,13 @@ from aligator_tpu.multibody.spatial import SE3T, se3_mul
 class GeomObject:
     """A primitive attached to a model frame with a fixed local offset.
 
-    ``kind`` ∈ {"sphere", "capsule", "box", "halfspace"}:
+    ``kind`` ∈ {"sphere", "capsule", "box", "convex", "halfspace"}:
       * capsules run along their local z axis with given ``half_length``;
       * boxes are axis-aligned in the (offset) frame with
         ``half_extents``;
+      * convex meshes are the convex hull of ``vertices`` (local frame,
+        static tuple-of-tuples so the object stays hashable metadata);
+        ``radius`` inflates the hull (a "sphere-swept convex");
       * halfspaces occupy {x : n·(x−o) ≤ 0} with n the frame z axis —
         distance to a halfspace is headroom above the plane.
 
@@ -54,6 +64,7 @@ class GeomObject:
     half_length: float = 0.0
     offset_p: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     half_extents: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    vertices: Optional[Tuple[Tuple[float, float, float], ...]] = None
 
 
 def _safe_norm(v, eps=1e-12):
@@ -133,6 +144,60 @@ def _segment_box_distance(p1, q1, Mb: SE3T, box: GeomObject, dtype,
     return f(t_star)
 
 
+def _vertex_cloud(M: SE3T, g: GeomObject, dtype) -> jax.Array:
+    """World-frame vertex cloud of a convex-capable primitive: convex →
+    its vertices, box → its 8 corners, capsule → its 2 segment
+    endpoints, sphere → its center (each + ``radius`` handled by the
+    caller as a Minkowski sphere sweep)."""
+    if g.kind == "convex":
+        if g.vertices is None:
+            raise ValueError("convex GeomObject needs 'vertices'")
+        V = jnp.asarray(g.vertices, dtype) + jnp.asarray(g.offset_p, dtype)
+        return M.p + V @ M.R.T
+    if g.kind == "box":
+        return _box_corners(M, g, dtype)
+    p, q = _segment_endpoints(M, g, dtype)
+    return jnp.stack([p, q], axis=0)
+
+
+def _fw_direction(W1, W2, iters: int = 48):
+    """Frank-Wolfe on ½‖a−b‖² over (a, b) ∈ conv(W1)×conv(W2), with the
+    exact line-search step of the quadratic. Fixed iteration count (no
+    data-dependent control flow — XLA/TPU friendly); O(1/k) suffices
+    because only the separating DIRECTION is consumed (the distance is
+    re-evaluated in dual support form). Runs entirely under
+    stop_gradient — gradients flow through the dual evaluation instead
+    (Danskin)."""
+    W1 = jax.lax.stop_gradient(W1)
+    W2 = jax.lax.stop_gradient(W2)
+
+    def step(carry, _):
+        a, b = carry
+        g = a - b
+        v_a = W1[jnp.argmin(W1 @ g)]
+        v_b = W2[jnp.argmax(W2 @ g)]
+        da, db = a - v_a, b - v_b
+        s = da - db
+        gamma = jnp.clip(jnp.dot(s, g) / (jnp.dot(s, s) + 1e-12), 0.0, 1.0)
+        return (a - gamma * da, b - gamma * db), None
+
+    (a, b), _ = jax.lax.scan(
+        step, (jnp.mean(W1, axis=0), jnp.mean(W2, axis=0)), None, length=iters
+    )
+    x = a - b
+    return x / _safe_norm(x)
+
+
+def _convex_pair_distance(W1, W2, r1, r2):
+    """Support-function distance of two world vertex clouds (+ sphere
+    sweeps r1, r2): d = min⟨n̂, W₁⟩ − max⟨n̂, W₂⟩ − r₁ − r₂ at the
+    Frank-Wolfe separating direction n̂ (stop_gradient) — exact value
+    and exact Danskin gradient for disjoint hulls, a conservative
+    (negative) underestimate for overlapping ones."""
+    n = _fw_direction(W1, W2)
+    return jnp.min(W1 @ n) - jnp.max(W2 @ n) - r1 - r2
+
+
 def _halfspace_info(Mh: SE3T, hs: GeomObject, dtype):
     o = Mh.p + (Mh.R @ jnp.asarray(hs.offset_p, dtype)[..., None])[..., 0]
     n = Mh.R[..., :, 2]
@@ -169,8 +234,8 @@ def pair_distance(model: MultibodyModel, q: jax.Array,
         )
     kinds = (g1.kind, g2.kind)
     seglike = ("sphere", "capsule")
-    # canonical order: segment-like first, then box before halfspace
-    rank = {"sphere": 0, "capsule": 0, "box": 1, "halfspace": 2}
+    # canonical order: segment-like first, then box/convex, halfspace last
+    rank = {"sphere": 0, "capsule": 0, "box": 1, "convex": 1, "halfspace": 2}
     if rank[g1.kind] > rank[g2.kind]:
         g1, g2 = g2, g1
     M1, M2 = placement(g1), placement(g2)
@@ -184,16 +249,20 @@ def pair_distance(model: MultibodyModel, q: jax.Array,
         if g1.kind == "sphere":
             return _point_box_distance(p1, M2, g2, dt) - g1.radius
         return _segment_box_distance(p1, q1_, M2, g2, dt) - g1.radius
-    if g1.kind in seglike and g2.kind == "halfspace":
+    if g1.kind != "halfspace" and g2.kind == "halfspace":
         o, n = _halfspace_info(M2, g2, dt)
-        p1, q1_ = _segment_endpoints(M1, g1, dt)
-        d = jnp.minimum(jnp.dot(n, p1 - o), jnp.dot(n, q1_ - o))
-        return d - g1.radius
-    if g1.kind == "box" and g2.kind == "halfspace":
-        o, n = _halfspace_info(M2, g2, dt)
-        corners = _box_corners(M1, g1, dt)
-        return jnp.min((corners - o) @ n)
+        r = g1.radius if g1.kind != "box" else 0.0
+        verts = _vertex_cloud(M1, g1, dt)
+        return jnp.min((verts - o) @ n) - r
+    if "convex" in kinds or (g1.kind == "box" and g2.kind == "box"):
+        # general convex pair (incl. box/box): Frank-Wolfe + dual support
+        r1 = g1.radius if g1.kind != "box" else 0.0
+        r2 = g2.radius if g2.kind != "box" else 0.0
+        return _convex_pair_distance(
+            _vertex_cloud(M1, g1, dt), _vertex_cloud(M2, g2, dt), r1, r2
+        )
     raise NotImplementedError(
         f"unsupported geometry pair {kinds}: model the robot side with "
-        "spheres/capsules and keep boxes/halfspaces for the environment"
+        "spheres/capsules/convex hulls and keep boxes/halfspaces for the "
+        "environment"
     )

@@ -98,11 +98,12 @@ def test_box_pair_jacobian_fd(model):
 
 
 def test_unsupported_pair_raises(model):
-    b1 = GeomObject(frame_id=0, kind="box", half_extents=(0.1, 0.1, 0.1))
-    b2 = GeomObject(frame_id=0, kind="box", half_extents=(0.1, 0.1, 0.1),
-                    offset_p=(1.0, 0.0, 0.0))
+    # halfspace/halfspace is the one remaining meaningless pair (box/box
+    # routes through the convex path since round 5)
+    h1 = GeomObject(frame_id=0, kind="halfspace")
+    h2 = GeomObject(frame_id=0, kind="halfspace", offset_p=(1.0, 0.0, 0.0))
     with pytest.raises(NotImplementedError):
-        pair_distance(model, jnp.zeros(model.nq), b1, b2)
+        pair_distance(model, jnp.zeros(model.nq), h1, h2)
 
 
 def test_world_frame_obstacle(model):
