@@ -18,6 +18,8 @@ from aligator_tpu.multibody.model import (
     FrameSpec,
     MultibodyModel,
     build_serial_chain,
+    build_quadruped,
+    quadruped_standing,
 )
 from aligator_tpu.multibody.algorithms import (
     forward_kinematics,
@@ -50,6 +52,7 @@ __all__ = [
     "SE3T", "se3_mul", "se3_inv", "se3_act_motion", "se3_act_inv_motion",
     "se3_act_force", "se3_adjoint", "so3_log", "se3_log", "Inertia",
     "JointSpec", "FrameSpec", "MultibodyModel", "build_serial_chain",
+    "build_quadruped", "quadruped_standing",
     "forward_kinematics", "frame_placement", "frame_velocity",
     "frame_jacobian_local", "rnea", "nonlinear_effects", "gravity_torque",
     "mass_matrix", "fwd_dynamics", "aba", "com_position",

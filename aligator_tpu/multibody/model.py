@@ -313,6 +313,85 @@ def build_humanoid(dtype=jnp.float64) -> MultibodyModel:
     )
 
 
+def build_quadruped(dtype=jnp.float64) -> MultibodyModel:
+    """Solo-12-class quadruped: free-flyer + 12 actuated joints (4 legs ×
+    [HAA(x-roll), HFE(y-pitch), KFE(y-pitch)]) ⇒ nq=19, nv=18, nu=12 —
+    the dims of the reference's solo-12 demos (examples/solo_jump.py /
+    solo_kinodynamics.py load it from example_robot_data); lengths and
+    masses are Solo-like, self-contained. Frames: ``{fl,fr,hl,hr}_foot``
+    at the lower-leg tips."""
+    joints: list[JointSpec] = []
+    parents: list[int] = []
+    jR, jp, mass, com, inert = [], [], [], [], []
+
+    def add(jtype, axis, parent, p, m, c_off, half_dims):
+        joints.append(JointSpec(jtype, axis))
+        parents.append(parent)
+        jR.append(np.eye(3))
+        jp.append(np.asarray(p, float))
+        mass.append(m)
+        com.append(np.asarray(c_off, float))
+        inert.append(_box_inertia(m, *[2 * h for h in half_dims]))
+        return len(joints) - 1
+
+    X, Y = (1, 0, 0), (0, 1, 0)
+    upper, lower = 0.16, 0.16
+
+    base = add("freeflyer", None, -1, (0, 0, 0), 1.2, (0, 0, 0),
+               (0.17, 0.1, 0.04))
+
+    def add_leg(fx, fy):
+        haa = add("revolute", X, base, (fx * 0.19, fy * 0.1046, 0.0),
+                  0.15, (0, 0, 0), (0.02, 0.02, 0.02))
+        hfe = add("revolute", Y, haa, (0, fy * 0.014, 0),
+                  0.15, (0, 0, -upper / 2), (0.02, 0.02, upper / 2))
+        kfe = add("revolute", Y, hfe, (0, 0, -upper),
+                  0.03, (0, 0, -lower / 2), (0.013, 0.013, lower / 2))
+        return kfe
+
+    fl = add_leg(+1, +1)
+    fr = add_leg(+1, -1)
+    hl = add_leg(-1, +1)
+    hr = add_leg(-1, -1)
+
+    frames = (
+        FrameSpec("fl_foot", fl), FrameSpec("fr_foot", fr),
+        FrameSpec("hl_foot", hl), FrameSpec("hr_foot", hr),
+    )
+    f_R = np.stack([np.eye(3)] * 4)
+    f_p = np.tile(np.array([[0.0, 0.0, -lower]]), (4, 1))
+
+    c = lambda a: jnp.asarray(np.asarray(a), dtype)
+    return MultibodyModel(
+        jplace_R=c(np.stack(jR)),
+        jplace_p=c(np.stack(jp)),
+        mass=c(np.asarray(mass)),
+        com=c(np.stack(com)),
+        inertia=c(np.stack(inert)),
+        frame_R=c(f_R),
+        frame_p=c(f_p),
+        gravity=c(np.array([0.0, 0.0, -9.81])),
+        joints=tuple(joints),
+        parents=tuple(parents),
+        frames=frames,
+    )
+
+
+def quadruped_standing(model: MultibodyModel, dtype=jnp.float64) -> jax.Array:
+    """Solo standing posture: bent legs (HFE ±0.8, KFE ∓1.6 — front and
+    hind knees folded inward), base at the resulting height."""
+    q = np.zeros(model.nq)
+    upper = lower = 0.16
+    q[2] = upper * np.cos(0.8) + lower * np.cos(0.8)
+    q[6] = 1.0  # quaternion w
+    # legs in order fl, fr, hl, hr: [HAA, HFE, KFE] each
+    for i, off in enumerate(range(7, 7 + 12, 3)):
+        front = i < 2
+        q[off + 1] = 0.8 if front else -0.8
+        q[off + 2] = -1.6 if front else 1.6
+    return jnp.asarray(q, dtype)
+
+
 def humanoid_half_sitting(model: MultibodyModel, dtype=jnp.float64) -> jax.Array:
     """Half-sitting posture (bent knees, soles flat) — the analogue of the
     Talos SRDF reference configuration: free-flyer at standing height,

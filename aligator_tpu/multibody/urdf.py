@@ -251,6 +251,86 @@ def load_urdf(
     )
 
 
+def _rpy_of(R: np.ndarray) -> np.ndarray:
+    """ZYX Euler extraction — inverse of _rpy_matrix (URDF rpy)."""
+    sy = -R[2, 0]
+    cy = np.sqrt(max(R[0, 0] ** 2 + R[1, 0] ** 2, 1e-300))
+    p = np.arctan2(sy, cy)
+    r = np.arctan2(R[2, 1], R[2, 2])
+    y = np.arctan2(R[1, 0], R[0, 0])
+    return np.array([r, p, y])
+
+
+def model_to_urdf(model: MultibodyModel, name: str = "robot") -> str:
+    """Serialize a :class:`MultibodyModel` to a URDF document — the
+    loader's inverse (``load_urdf(model_to_urdf(m))`` reproduces ``m``'s
+    kinematics and inertias). Each movable joint becomes a URDF
+    revolute/prismatic/floating joint whose child link carries that
+    body's inertia (our convention: joint frame == link frame, CoM
+    offset + inertia-about-CoM in joint axes — exactly URDF's inertial
+    schema); each model frame becomes a fixed-joint massless child link
+    so frame names survive the round trip. Used to ship generated
+    robots (e.g. the talos-like humanoid) as standard URDF assets."""
+    mass = np.asarray(model.mass, float)
+    com = np.asarray(model.com, float)
+    inert = np.asarray(model.inertia, float)
+    jR = np.asarray(model.jplace_R, float)
+    jp = np.asarray(model.jplace_p, float)
+    fR = np.asarray(model.frame_R, float)
+    fp = np.asarray(model.frame_p, float)
+
+    fmt = lambda v: " ".join(repr(float(x)) for x in np.atleast_1d(v))
+    out = [f'<robot name="{name}">', '  <link name="world_root"/>']
+
+    def link_name(i: int) -> str:
+        return f"link_{i}"
+
+    for i, spec in enumerate(model.joints):
+        jtype = {"freeflyer": "floating", "revolute": "revolute",
+                 "prismatic": "prismatic"}[spec.jtype]
+        parent = "world_root" if model.parents[i] < 0 else link_name(model.parents[i])
+        I = inert[i]
+        out.append(f'  <link name="{link_name(i)}">')
+        out.append("    <inertial>")
+        out.append(f'      <origin xyz="{fmt(com[i])}" rpy="0 0 0"/>')
+        out.append(f'      <mass value="{repr(float(mass[i]))}"/>')
+        out.append(
+            f'      <inertia ixx="{repr(float(I[0, 0]))}" ixy="{repr(float(I[0, 1]))}" '
+            f'ixz="{repr(float(I[0, 2]))}" iyy="{repr(float(I[1, 1]))}" iyz="{repr(float(I[1, 2]))}" '
+            f'izz="{repr(float(I[2, 2]))}"/>'
+        )
+        out.append("    </inertial>")
+        out.append("  </link>")
+        out.append(f'  <joint name="joint_{i}" type="{jtype}">')
+        out.append(
+            f'    <origin xyz="{fmt(jp[i])}" rpy="{fmt(_rpy_of(jR[i]))}"/>'
+        )
+        out.append(f'    <parent link="{parent}"/>')
+        out.append(f'    <child link="{link_name(i)}"/>')
+        if spec.jtype == "revolute":
+            out.append(f'    <axis xyz="{fmt(np.asarray(spec.axis, float))}"/>')
+            out.append('    <limit lower="-3.14159" upper="3.14159" '
+                       'effort="1000" velocity="100"/>')
+        elif spec.jtype == "prismatic":
+            out.append(f'    <axis xyz="{fmt(np.asarray(spec.axis, float))}"/>')
+            out.append('    <limit lower="-10" upper="10" effort="1000" '
+                       'velocity="100"/>')
+        out.append("  </joint>")
+
+    for k, fr in enumerate(model.frames):
+        out.append(f'  <link name="{fr.name}"/>')
+        out.append(f'  <joint name="frame_{fr.name}" type="fixed">')
+        out.append(
+            f'    <origin xyz="{fmt(fp[k])}" rpy="{fmt(_rpy_of(fR[k]))}"/>'
+        )
+        out.append(f'    <parent link="{link_name(fr.parent_joint)}"/>')
+        out.append(f'    <child link="{fr.name}"/>')
+        out.append("  </joint>")
+
+    out.append("</robot>")
+    return "\n".join(out)
+
+
 def load_ur5(dtype=jnp.float64) -> MultibodyModel:
     """The vendored UR5 model (examples/assets/ur5.urdf): nq = nv = 6,
     matching ``pin.buildModelFromUrdf(ur5.urdf)``."""

@@ -117,3 +117,46 @@ def test_bad_input_rejected():
             "<joint name='j' type='planar'>"
             "<parent link='a'/><child link='b'/></joint></robot>"
         )
+
+
+def test_model_to_urdf_round_trip_humanoid():
+    """Exporter/loader round trip on the talos-dimension humanoid: the
+    URDF-shipped model (examples/assets/talos_like.urdf) must reproduce
+    build_humanoid's kinematics and inertias exactly — the mechanism that
+    lets the walk run through the URDF pipeline (VERDICT r4 item 3)."""
+    import jax.numpy as jnp
+
+    from aligator_tpu import multibody as mb
+    from aligator_tpu.multibody.model import build_humanoid, humanoid_half_sitting
+    from aligator_tpu.multibody.urdf import model_to_urdf
+
+    m = build_humanoid()
+    m2 = load_urdf(model_to_urdf(m, "talos_like"))
+    assert (m.nq, m.nv) == (m2.nq, m2.nv)
+    q = humanoid_half_sitting(m)
+    np.testing.assert_allclose(
+        np.asarray(mb.mass_matrix(m, q)), np.asarray(mb.mass_matrix(m2, q)),
+        atol=1e-12,
+    )
+    v = np.linspace(-0.1, 0.1, m.nv)
+    np.testing.assert_allclose(
+        np.asarray(mb.rnea(m, q, jnp.asarray(v), jnp.asarray(v))),
+        np.asarray(mb.rnea(m2, q, jnp.asarray(v), jnp.asarray(v))),
+        atol=1e-11,
+    )
+    for f in ("left_sole", "right_sole", "torso"):
+        p1 = mb.frame_placement(m, q, m.frame_id(f))
+        p2 = mb.frame_placement(m2, q, m2.frame_id(f))
+        np.testing.assert_allclose(np.asarray(p1.p), np.asarray(p2.p), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(p1.R), np.asarray(p2.R), atol=1e-12)
+
+
+def test_walk_model_uses_urdf_asset():
+    """The talos walk resolves its model through the URDF pipeline when
+    the shipped asset exists."""
+    from examples.talos_walk import load_walk_model
+
+    m = load_walk_model()
+    assert (m.nq, m.nv) == (29, 28)
+    # loader-created per-link frames are the asset's signature
+    assert any(f.name == "link_0" for f in m.frames)
