@@ -99,42 +99,6 @@ def _chol(A: jax.Array) -> jax.Array:
     return L
 
 
-def _fwd_sub(L: jax.Array, B: jax.Array) -> jax.Array:
-    """Solve L Y = B for a batch: L (TB, n, n) lower, B (TB, n, m).
-
-    No masking needed: rows of Y not yet computed are still zero, and the
-    i ≥ j entries of L's row j multiply exactly those rows."""
-    n = L.shape[-1]
-    Y = jnp.zeros_like(B)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
-    for j in range(n):
-        acc = jnp.sum(L[:, j, :][:, :, None] * Y, axis=1)  # (TB, m)
-        yj = (B[:, j, :] - acc) / L[:, j, j][:, None]
-        ej = (iota == j).astype(L.dtype)[0][:, None]  # (n, 1)
-        Y = Y + yj[:, None, :] * ej
-    return Y
-
-
-def _bwd_sub(L: jax.Array, B: jax.Array) -> jax.Array:
-    """Solve Lᵀ Y = B: backward substitution on rows of Lᵀ (strictly
-    upper entries of row j of Lᵀ multiply the already-computed rows;
-    the rest of Y is still zero — no masking needed)."""
-    n = L.shape[-1]
-    Lt = jnp.swapaxes(L, -1, -2)
-    Y = jnp.zeros_like(B)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
-    for j in range(n - 1, -1, -1):
-        acc = jnp.sum(Lt[:, j, :][:, :, None] * Y, axis=1)
-        yj = (B[:, j, :] - acc) / Lt[:, j, j][:, None]
-        ej = (iota == j).astype(L.dtype)[0][:, None]
-        Y = Y + yj[:, None, :] * ej
-    return Y
-
-
-def _cho_solve(L: jax.Array, B: jax.Array) -> jax.Array:
-    return _bwd_sub(L, _fwd_sub(L, B))
-
-
 def _bmm(a: jax.Array, b: jax.Array) -> jax.Array:
     """Batched matmul (TB, i, j) @ (TB, j, k) on the MXU."""
     return jax.lax.dot_general(
@@ -160,56 +124,85 @@ def _bmTv(M: jax.Array, v: jax.Array) -> jax.Array:
     return _bmT(M, v[:, :, None])[:, :, 0]
 
 
-def _kkt_solve(Rh, D, mu, b1, b2, refine_steps):
-    """Fixed-pivot Schur solve of [[R̂, Dᵀ],[D, -µI]] [k; z] = [b1; b2]
-    for a batch tile, with static-count iterative refinement — the
-    in-kernel equivalent of linalg.schur.kkt_solve_refined.
-    mu: (TB,); b1: (TB, nu, m); b2: (TB, nc, m)."""
-    nc = D.shape[-2]
-    chol_R = _chol_b(Rh)
-    Dt = jnp.swapaxes(D, -1, -2)
-    # one wide substitution chain for [R⁻¹Dᵀ | R⁻¹b1] — the solves are
-    # chain-latency-bound, so rhs are batched into one blocked pass
-    joint = _cho_solve_b(chol_R, jnp.concatenate([Dt, b1], axis=2))
-    RiDt, Rib1 = joint[:, :, :nc], joint[:, :, nc:]
-    eye = (
-        jax.lax.broadcasted_iota(jnp.int32, (nc, nc), 0)
-        == jax.lax.broadcasted_iota(jnp.int32, (nc, nc), 1)
-    ).astype(Rh.dtype)
-    S = mu[:, None, None] * eye + _bmm(D, RiDt)
-    chol_S = _chol_b(0.5 * (S + jnp.swapaxes(S, -1, -2)))
+def _eye(n, dtype):
+    return (
+        jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    ).astype(dtype)
 
-    def solve(c1, c2, Ric1=None):
-        if Ric1 is None:
-            Ric1 = _cho_solve_b(chol_R, c1)
-        z = _cho_solve_b(chol_S, _bmm(D, Ric1) - c2)
-        k = Ric1 - _bmm(RiDt, z)
-        return k, z
 
-    k, z = solve(b1, b2, Ric1=Rib1)
+def _kkt_solve_T(Rh, Dt, mu, rhs, refine_steps, nus):
+    """Fixed-pivot Schur solve of [[R̂, Dᵀ],[D, -µI]] sol = rhs via the
+    EXPLICIT saddle-point inverse T — the per-batch-element MXU issue
+    cost of batched small GEMMs dominates this kernel, so the ~16
+    apply/solve GEMM calls of the two-factor Schur path are collapsed
+    into ~10: assemble T = [[R̂⁻¹−U·RiDtᵀ, U], [Uᵀ, −S⁻¹]] (U =
+    RiDt·S⁻¹) once, then every solve is ONE GEMM and each refinement
+    step two (K·sol residual + T·residual). The Cholesky-factor
+    inverses come from the full-lane VPU chains (_chol_inv_lanes).
+
+    Row/col space is the PADDED [nu→nus | nc→nus] layout (zero pad rows
+    and cols — T·rhs keeps them zero, the residual too): ``rhs``
+    (TB, 2·nus, m) arrives padded, and ``sol`` is returned in the same
+    layout, which is exactly the packed [K|kff; Z|zff] output sheet.
+    mu: (TB,)."""
+    nu = Rh.shape[-1]
+    nc = Dt.shape[-1]
+    dt = Rh.dtype
+    D = jnp.swapaxes(Dt, -1, -2)
+    LiR = _chol_inv_mixed(Rh)
+    # [R̂⁻¹ | R̂⁻¹Dᵀ] in one joint apply
+    eye_u = jnp.broadcast_to(_eye(nu, dt)[None], Rh.shape)
+    joint = _apply_spd_inv(LiR, jnp.concatenate([eye_u, Dt], axis=2))
+    Rinv, RiDt = joint[:, :, :nu], joint[:, :, nu:]
+    S = mu[:, None, None] * _eye(nc, dt) + _bmm(D, RiDt)
+    LiS = _chol_inv_mixed(0.5 * (S + jnp.swapaxes(S, -1, -2)))
+    Sinv = _bmT(LiS, LiS)
+    U = _bmm(RiDt, Sinv)
+    RiDtT = jnp.swapaxes(RiDt, -1, -2)
+    T11 = Rinv - _bmm(U, RiDtT)
+    T21 = jnp.swapaxes(U, -1, -2)
+
+    TB = Rh.shape[0]
+    zrow = lambda a, n: jnp.pad(a, ((0, 0), (0, n - a.shape[1]), (0, 0)))
+    zcol = lambda a, n: jnp.pad(a, ((0, 0), (0, 0), (0, n - a.shape[2])))
+
+    def blockcat(B11, B12, B21, B22):
+        top = jnp.concatenate([zcol(B11, nus), zcol(B12, nus)], axis=2)
+        bot = jnp.concatenate([zcol(B21, nus), zcol(B22, nus)], axis=2)
+        return jnp.concatenate([zrow(top, nus), zrow(bot, nus)], axis=1)
+
+    T = blockcat(T11, U, T21, -Sinv)
+    Km = blockcat(Rh, Dt, D, -mu[:, None, None] * _eye(nc, dt))
+
+    sol = _bmm(T, rhs)
     for _ in range(refine_steps):
-        r1 = b1 - (_bmm(Rh, k) + _bmm(Dt, z))
-        r2 = b2 - (_bmm(D, k) - mu[:, None, None] * z)
-        dk, dz = solve(r1, r2)
-        k = k + dk
-        z = z + dz
-    return k, z
+        sol = sol + _bmm(T, rhs - _bmm(Km, sol))
+    return sol
 
 
 # ---------------------------------------------------------------------------
-# Blocked (8-wide) in-kernel solves — the chain-latency fix.
+# Blocked explicit-inverse solves — the chain-latency fix (round 5).
 #
-# The unrolled _chol/_fwd_sub/_bwd_sub run O(n) sequential VPU steps per
-# factor/solve; at n=22..79 per stage × 101 stages × batch tiles this is
-# what keeps the chip 99% idle (docs/trace_analysis_r4.md). The blocked
-# versions cut the sequential chain ~2.5×: all 8×8 diagonal blocks are
-# inverted IN PARALLEL (one 8-step unrolled substitution over a (TB, nb,
-# 8, 8) stack), and the per-block off-diagonal updates become MXU
-# matmuls. Small n (≤ _BLK_MIN) keeps the unrolled path.
+# The r3 kernel ran unrolled O(n)-step substitution chains for every
+# triangular solve; r4's blocked version cut the chain ~2.5× but still
+# re-ran an 8-step blocked substitution per solve — 500–1000 sequential
+# lane-starved VPU ops per stage (docs/trace_analysis_r4.md). This round
+# the Cholesky loop ACCUMULATES THE EXPLICIT FACTOR INVERSE L⁻¹ (one
+# extra MXU GEMM per 8-wide block — the per-block diagonal inverses were
+# already being computed), after which every downstream solve is two MXU
+# GEMMs (A⁻¹B = L⁻ᵀ(L⁻¹B)) with NO substitution chain at all. Critical
+# path per stage drops to 2 blocked factorizations (~2×30 sequential
+# steps) + pure GEMMs. Accuracy: forming L⁻¹ row-block-wise is stable up
+# to a κ(L)=√κ(A) factor; the kernel's static-count iterative refinement
+# (refine_steps) corrects the rounding exactly as it did for
+# substitution, and the GAR KKT gate (tests/test_gar_riccati.py, ≤1e-9
+# f64 / talos f32 convergence) pins the result.
 # ---------------------------------------------------------------------------
 
 _BLK = 8
 _BLK_MIN = 12
+_BLK_INNER = 8  # default factorization block (see _chol_inv_b)
 
 
 def _inv_lower_all(L):
@@ -249,92 +242,109 @@ def _pad_square_identity(A, npad):
     return A + tail_eye
 
 
-def _diag_blocks(L, nb):
-    """Stack the nb diagonal _BLK×_BLK blocks of (TB, nb·_BLK, nb·_BLK)."""
-    return jnp.stack(
-        [L[:, _BLK * j : _BLK * (j + 1), _BLK * j : _BLK * (j + 1)]
-         for j in range(nb)],
-        axis=1,
-    )
-
-
-def _chol_b(A):
-    """Blocked lower Cholesky of (TB, n, n) SPD. Chain per block: 8-step
-    diagonal factor + 8-step diagonal inverse + MXU GEMM updates."""
+def _chol_inv_b(A, blk: Optional[int] = None):
+    """Blocked lower Cholesky of (TB, n, n) SPD, returning Li = L⁻¹
+    (lower-triangular) directly. Chain per block: blk-step diagonal
+    factor + blk-step diagonal inverse; all off-diagonal updates are
+    MXU GEMMs, with the [Sjj; P] panel merged into one GEMM and the
+    first block's (empty) updates elided. The running inverse costs two
+    GEMMs per later block (X_j,: = L_jj⁻¹(E_j − L_{j,<j}X)).
+    Indefiniteness surfaces as NaN via the diagonal rsqrt, the
+    library-wide convention."""
     n = A.shape[-1]
     if n <= _BLK_MIN:
-        return _chol(A)
-    nb = -(-n // _BLK)
-    npad = nb * _BLK - n
+        return _inv_lower_all(_chol(A)[:, None])[:, 0]
+    # bigger blocks trade chain length for GEMM-call count but also blow
+    # up the unrolled-chain program Mosaic has to compile (blk=16 at
+    # N=100 stages did not finish compiling in 9 min on the axon helper)
+    blk = blk or _BLK_INNER
+    nb = -(-n // blk)
+    npad = nb * blk - n
     Ap = _pad_square_identity(A, npad)
-    m = nb * _BLK
+    m = nb * blk
     L = jnp.zeros_like(Ap)
+    X = jnp.zeros_like(Ap)  # running inverse of the factored row blocks
     for j in range(nb):
-        sl = slice(_BLK * j, _BLK * (j + 1))
-        Lrow = L[:, sl, :]  # (TB, 8, m); cols ≥ current block still zero
-        Sjj = Ap[:, sl, sl] - _bmm(Lrow, jnp.swapaxes(Lrow, -1, -2))
-        Ljj = _chol(Sjj)  # (TB, 8, 8), 8-step unrolled
-        inv_j = _inv_lower_all(Ljj[:, None])[:, 0]  # (TB, 8, 8)
-        new_rows = jnp.pad(Ljj, ((0, 0), (0, 0), (_BLK * j, m - _BLK * (j + 1))))
-        if j + 1 < nb:
-            below = slice(_BLK * (j + 1), m)
-            Lbelow = L[:, below, :]
-            P = Ap[:, below, sl] - _bmm(Lbelow, jnp.swapaxes(Lrow, -1, -2))
-            Lpan = _bmm(P, jnp.swapaxes(inv_j, -1, -2))  # (TB, rest, 8)
-            pan_rows = jnp.pad(
-                Lpan, ((0, 0), (_BLK * (j + 1), 0), (_BLK * j, m - _BLK * (j + 1)))
-            )
+        sl = slice(blk * j, blk * (j + 1))
+        Lrow = L[:, sl, :]  # cols ≥ current block still zero
+        if j == 0:
+            SP = Ap[:, :, sl]  # L is all-zero: no update GEMM
         else:
-            pan_rows = jnp.zeros_like(L)
-        row_pad = jnp.pad(new_rows, ((0, 0), (_BLK * j, m - _BLK * (j + 1)), (0, 0)))
-        L = L + row_pad + pan_rows
-    return L[:, :n, :n] if npad else L
+            SP = Ap[:, blk * j :, sl] - _bmm(
+                L[:, blk * j :, :], jnp.swapaxes(Lrow, -1, -2)
+            )
+        Sjj = SP[:, :blk, :]
+        Ljj = _chol(Sjj)  # (TB, blk, blk), unrolled
+        inv_j = _inv_lower_all(Ljj[:, None])[:, 0]
+        if j + 1 < nb:
+            Lpan = _bmm(SP[:, blk:, :], jnp.swapaxes(inv_j, -1, -2))
+            L = L + jnp.pad(
+                Lpan, ((0, 0), (blk * (j + 1), 0), (blk * j, m - blk * (j + 1)))
+            )
+        if j == 0:
+            Xj = jnp.pad(inv_j, ((0, 0), (0, 0), (0, m - blk)))
+        else:
+            Xj = jnp.pad(
+                inv_j, ((0, 0), (0, 0), (blk * j, m - blk * (j + 1)))
+            ) - _bmm(inv_j, _bmm(Lrow, X))
+        X = X + jnp.pad(Xj, ((0, 0), (blk * j, m - blk * (j + 1)), (0, 0)))
+    return X[:, :n, :n] if npad else X
 
 
-def _fwd_sub_b(L, B):
-    """Blocked solve L Y = B; L (TB, n, n) lower, B (TB, n, m)."""
-    n = L.shape[-1]
-    if n <= _BLK_MIN:
-        return _fwd_sub(L, B)
-    nb = -(-n // _BLK)
-    npad = nb * _BLK - n
-    Lp = _pad_square_identity(L, npad)
-    Bp = jnp.pad(B, ((0, 0), (0, npad), (0, 0))) if npad else B
-    m = nb * _BLK
-    inv = _inv_lower_all(_diag_blocks(Lp, nb))  # (TB, nb, 8, 8)
-    Y = jnp.zeros_like(Bp)
-    for j in range(nb):
-        sl = slice(_BLK * j, _BLK * (j + 1))
-        acc = _bmm(Lp[:, sl, :], Y)  # rows ≥ sl still zero ⇒ exact
-        yj = _bmm(inv[:, j], Bp[:, sl, :] - acc)
-        Y = Y + jnp.pad(yj, ((0, 0), (_BLK * j, m - _BLK * (j + 1)), (0, 0)))
-    return Y[:, :n, :] if npad else Y
+def _apply_spd_inv(Li, B):
+    """A⁻¹B = Liᵀ(Li B) for Li = chol(A)⁻¹ — two MXU GEMMs, no chain."""
+    return _bmT(Li, _bmm(Li, B))
 
 
-def _bwd_sub_b(L, B):
-    """Blocked solve Lᵀ Y = B."""
-    n = L.shape[-1]
-    if n <= _BLK_MIN:
-        return _bwd_sub(L, B)
-    nb = -(-n // _BLK)
-    npad = nb * _BLK - n
-    Lp = _pad_square_identity(L, npad)
-    Bp = jnp.pad(B, ((0, 0), (0, npad), (0, 0))) if npad else B
-    m = nb * _BLK
-    Ut = jnp.swapaxes(Lp, -1, -2)  # upper
-    inv = _inv_lower_all(_diag_blocks(Lp, nb))  # lower inverses
-    Y = jnp.zeros_like(Bp)
-    for j in range(nb - 1, -1, -1):
-        sl = slice(_BLK * j, _BLK * (j + 1))
-        acc = _bmm(Ut[:, sl, :], Y)  # rows ≤ sl still zero ⇒ exact
-        # diagonal solve: Ljjᵀ yj = rhs ⇒ yj = inv(Ljj)ᵀ rhs
-        yj = _bmT(inv[:, j], Bp[:, sl, :] - acc)
-        Y = Y + jnp.pad(yj, ((0, 0), (_BLK * j, m - _BLK * (j + 1)), (0, 0)))
-    return Y[:, :n, :] if npad else Y
+def _chol_inv_lanes(A):
+    """L⁻¹ of chol(A) for a LANES-MAJOR batch: A (n, n, TB) SPD with the
+    batch filling the 128-lane axis.
+
+    Why this layout: Mosaic unrolls batched (TB, ·, ·) dot_generals into
+    TB sequential MXU issues, so the blocked _chol_inv_b spent ~16
+    batched-GEMM calls × TB issues per stage on factorization alone (and
+    its sublane-major chain steps used ≤ n of 128 lanes). Lanes-major
+    runs the SAME unrolled chains as full-lane VPU ops: every
+    instruction processes all TB problems at once, and no MXU issue is
+    involved. Symmetry makes column extraction free (column j of the
+    running downdated A IS slab j)."""
+    n = A.shape[0]
+    TB = A.shape[2]
+    si = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)  # sublane index
+    cols = []
+    for j in range(n):
+        d = jax.lax.rsqrt(A[j][j])  # (TB,)
+        colj = A[j] * (si >= j).astype(A.dtype) * d[None, :]  # (n, TB)
+        A = A - colj[:, None, :] * colj[None, :, :]
+        cols.append(colj)
+    L = jnp.stack(cols, axis=1)  # (n_row, n_col, TB): L[i, j] = cols[j][i]
+    slab = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
+    Li = jnp.zeros((n, n, TB), L.dtype)
+    for j in range(n):
+        rowj = L[j]  # (n, TB) — row j of L (cols ≥ j are zero... ≠0 only diag)
+        acc = jnp.sum(rowj[:, None, :] * Li, axis=0)  # L[j,<j] @ Li rows
+        ej = (si == j).astype(L.dtype)
+        xj = (ej - acc) / rowj[j][None, :]
+        Li = Li + jnp.where(slab == j, xj[None, :, :], jnp.zeros_like(Li))
+    return Li
 
 
-def _cho_solve_b(L, B):
-    return _bwd_sub_b(L, _fwd_sub_b(L, B))
+def _chol_inv_mixed(A):
+    """chol(A)⁻¹ for sublane-major (TB, n, n): transpose to lanes-major,
+    run the full-lane VPU chains, transpose back for the MXU applies.
+    The two rank-3 transposes are Mosaic-supported and far cheaper than
+    the 2·nb batched GEMM calls they replace (scripts/probe_mosaic.py)."""
+    Li_l = _chol_inv_lanes(jnp.transpose(A, (1, 2, 0)))
+    return jnp.transpose(Li_l, (2, 0, 1))
+
+
+def _lane_col(x, j: int):
+    """Column j of (TB, n, m) as (TB, n) via a masked lane reduction —
+    integer lane indexing / offset-j lane slices yield offset-carrying
+    vector layouts that Mosaic's concatenate lowering rejects; the
+    reduction output is canonical."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, x.shape[-1]), 2)
+    return jnp.sum(jnp.where(iota == j, x, jnp.zeros_like(x)), axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -343,18 +353,26 @@ def _cho_solve_b(L, B):
 
 
 def _backward_kernel(
-    # inputs (blocks: (TB, ·) with the time dim squeezed). ``vec`` packs
-    # the per-stage vectors [q, r, f, d] as rows of a (TB, 4, nmax)
-    # matrix — Pallas TPU blocks must keep their last two dims equal to
-    # the array's, so bare (TB, n) vector blocks are not expressible.
-    Q, S, R, A, B, C, D, vec, mu,
-    # outputs: matrices + packed vectors [kff, zff, yff, vx]
-    K_o, Z_o, Acl_o, Vxx_o, vec_o,
+    # inputs (blocks: (TB, ·) with the time dim squeezed), packed into
+    # lane-dense sheets (round 5 — docs/trace_analysis_r4.md "fix path"):
+    #   H0  (TB, nx+nu, nx+nu) = [[Q, S], [Sᵀ, R]]
+    #   M   (TB, nx, nx+nu)    = [A | B]
+    #   CD  (TB, nc, nx+nu)    = [C | D]
+    #   vec (TB, 3, nmax)      = rows [q·r stacked, f, d] (nmax ≥ nx+nu)
+    # Packing kills the 2.3–5.8× lane padding of the narrow operands AND
+    # fuses the five hat-GEMMs into two: MᵀV, then H0 + (MᵀV)M gives
+    # Q̂/Ŝ/R̂ in one shot. (Pallas TPU blocks must keep their last two
+    # dims equal to the array's, so bare (TB, n) vector blocks are not
+    # expressible — hence the packed vec rows.)
+    H0, M, CD, vec, mu,
+    # outputs: packed [K; Z] rows, packed [Acl | Vxx], packed vectors
+    KZ_o, AV_o, vec_o,
     # scratch carry
     Vc, vc,
     *, dims, refine_steps: int,
 ):
     nx, nu, nc = dims
+    nxu = nx + nu
     k_step = pl.program_id(1)
 
     @pl.when(k_step == 0)
@@ -362,48 +380,86 @@ def _backward_kernel(
         Vc[:] = jnp.zeros_like(Vc)
         vc[:] = jnp.zeros_like(vc)
 
-    q = vec[:, 0, :nx]
-    r = vec[:, 1, :nu]
-    f = vec[:, 2, :nx]
-    d = vec[:, 3, :nc]
+    # LAYOUT RULE (Mosaic): a lane slice at a non-zero offset (e.g.
+    # H[..., nx:]) yields a value whose vector layout carries that
+    # offset; elementwise/matmul/store consumers relayout transparently,
+    # but tpu.concatenate REJECTS such inputs ("result/input offset
+    # mismatch on non-concat dimension"). Every value that flows into a
+    # concat/pad below is therefore built canonically: R̂/Dᵀ via a
+    # transpose of a row-sliced sheet (transposes emit fresh canonical
+    # registers), gain columns at offset-0 slices of the solve output,
+    # feed-forward columns via masked lane reductions.
+    qr = vec[:, 0, :nxu]
+    f = vec[:, 1, :nx]
+    d = vec[:, 2, :nc]
 
     # Terminal stage (t = N, k_step = 0) is the uniform stage math with
     # V' = 0 *and* A = B = f = 0 (riccati-kernel.hxx:130-193): selects
     # (not multiplies) so NaN/garbage in the unused terminal A,B,f
     # cannot leak into V.
     is_term = k_step == 0
-    Am = jnp.where(is_term, jnp.zeros_like(A[:]), A[:])
-    Bm = jnp.where(is_term, jnp.zeros_like(B[:]), B[:])
+    Mm = jnp.where(is_term, jnp.zeros_like(M[:]), M[:])
     fm = jnp.where(is_term, jnp.zeros_like(f), f)
 
     Vn, vn = Vc[:], vc[:]
-    vplus = vn + _bmv(Vn, fm)
-    AtV = _bmT(Am, Vn)
-    BtV = _bmT(Bm, Vn)
-    Qhat = Q[:] + _bmm(AtV, Am)
-    Rhat = R[:] + _bmm(BtV, Bm)
-    Shat = S[:] + _bmm(AtV, Bm)
-    qhat = q + _bmTv(Am, vplus)
-    rhat = r + _bmTv(Bm, vplus)
+    # joint GEMMs: Mᵀ[V | v] then (MᵀV)[M | f] — the full hat phase in
+    # two batched calls (q̂r̂ = qr + Mᵀv + MᵀVf)
+    MtVv = _bmT(Mm, jnp.concatenate([Vn, vn[:, :, None]], axis=2))
+    MtV = MtVv[:, :, :nx]  # (TB, nxu, nx)
+    HF = _bmm(MtV, jnp.concatenate([Mm, fm[:, :, None]], axis=2))
+    H = H0[:] + HF[:, :, :nxu]  # [[Q̂, Ŝ], [Ŝᵀ, R̂]]
+    qrhat = qr + _lane_col(MtVv, nx) + _lane_col(HF, nxu)
+    qhat = qrhat[:, :nx]
+
+    Qhat = H[:, :nx, :nx]
+    HR = H[:, nx:, :]  # (TB, nu, nxu) = [Ŝᵀ | R̂], sublane slice
+    ShatT = HR[:, :, :nx]  # (TB, nu, nx) = Ŝᵀ
+    Rhat = jnp.swapaxes(HR, -1, -2)[:, nx:, :]  # R̂ᵀ = R̂, canonical
     Rhat = 0.5 * (Rhat + jnp.swapaxes(Rhat, -1, -2))
+    Cm = CD[:, :, :nx]
+    Dt = jnp.swapaxes(CD[:], -1, -2)[:, nx:, :]  # (TB, nu, nc) canonical
 
-    b1 = -jnp.concatenate([rhat[:, :, None], jnp.swapaxes(Shat, -1, -2)], axis=2)
-    b2 = -jnp.concatenate([d[:, :, None], C[:]], axis=2)
-    ksol, zsol = _kkt_solve(Rhat, D[:], mu[:, 0, 0], b1, b2, refine_steps)
-    kff, K = ksol[:, :, 0], ksol[:, :, 1:]
-    zff, Z = zsol[:, :, 0], zsol[:, :, 1:]
+    # RHS columns ordered [matrix block | feed-forward column] so the
+    # gain slice of the solution starts at lane offset 0; rows in the
+    # padded [nu→nus | nc→nus] layout — the KKT solution then IS the
+    # packed [K|kff; Z|zff] output sheet, no reassembly
+    nus = KZ_o.shape[-2] // 2
+    rpad = lambda a: jnp.pad(a, ((0, 0), (0, nus - a.shape[1]), (0, 0)))
+    G = jnp.concatenate([H[:, :, :nx], qrhat[:, :, None]], axis=2)
+    rhs = jnp.concatenate(
+        [
+            rpad(-G[:, nx:, :]),  # -[Ŝᵀ | r̂]
+            rpad(-jnp.concatenate([Cm, d[:, :, None]], axis=2)),
+        ],
+        axis=1,
+    )
+    sol = _kkt_solve_T(Rhat, Dt, mu[:, 0, 0], rhs, refine_steps, nus)
+    KZ = sol[:, :, :nx]  # (TB, 2·nus, nx) = packed [K; Z]
+    ksol = sol[:, :nu, :]
+    kff = _lane_col(ksol, nx)
+    zff = _lane_col(sol[:, nus : nus + nc, :], nx)
 
-    yff = fm + _bmv(Bm, kff)
-    Acl = Am + _bmm(Bm, K)
-    Ct = jnp.swapaxes(C[:], -1, -2)
-    Vxx = Qhat + _bmm(Shat, K) + _bmm(Ct, Z)
+    # [Acl | B·kff] = [A | B] @ [[I, 0], [K, kff]] — one GEMM; the
+    # bottom block of the right factor IS the solution's K-rows
+    riota = jax.lax.broadcasted_iota(jnp.int32, (nx, nx + 1), 0)
+    ciota = jax.lax.broadcasted_iota(jnp.int32, (nx, nx + 1), 1)
+    eye_w = jnp.broadcast_to(
+        (riota == ciota).astype(M.dtype)[None], (M.shape[0], nx, nx + 1)
+    )
+    AclY = _bmm(Mm, jnp.concatenate([eye_w, ksol], axis=1))
+    Acl = AclY[:, :, :nx]
+    yff = fm + _lane_col(AclY, nx)
+
+    # [Ŝ K + Cᵀ Z | Ŝ kff + Cᵀ zff] as ONE stacked contraction against
+    # the padded solution sheet (padded rows multiply zeros — exact)
+    SC = jnp.concatenate([rpad(ShatT), rpad(Cm)], axis=1)
+    VX = _bmT(SC, sol)  # (TB, nx, nx+1)
+    Vxx = Qhat + VX[:, :, :nx]
     Vxx = 0.5 * (Vxx + jnp.swapaxes(Vxx, -1, -2))
-    vx = qhat + _bmv(Shat, kff) + _bmv(Ct, zff)
+    vx = qhat + _lane_col(VX, nx)
 
-    K_o[:] = K
-    Z_o[:] = Z
-    Acl_o[:] = Acl
-    Vxx_o[:] = Vxx
+    KZ_o[:] = KZ
+    AV_o[:] = jnp.concatenate([Acl, Vxx], axis=2)
     nmax = vec_o.shape[-1]
     pad = lambda a: jnp.pad(a, ((0, 0), (0, nmax - a.shape[-1])))
     vec_o[:] = jnp.stack([pad(kff), pad(zff), pad(yff), pad(vx)], axis=1)
@@ -520,13 +576,32 @@ def backward_sweep_batched(
     tb = tb or _pick_tb(Bsz, nx)
     _check_tb(Bsz, tb)
     nbt = Bsz // tb
-    nmax = max(nx, nu, nc)
+    nxu = nx + nu
+    nmax = max(nxu, nc)
+    nus = -(-max(nu, nc) // 8) * 8  # K/Z row slots, sublane-aligned
     mu3 = mueq.astype(dt).reshape(Bsz, 1, 1)
 
+    # lane-dense operand sheets (see _backward_kernel header)
+    H0 = jnp.concatenate(
+        [
+            jnp.concatenate([knots.Q, knots.S], axis=-1),
+            jnp.concatenate(
+                [jnp.swapaxes(knots.S, -1, -2), knots.R], axis=-1
+            ),
+        ],
+        axis=-2,
+    )  # (B, L, nxu, nxu)
+    Msheet = jnp.concatenate([knots.A, knots.B], axis=-1)  # (B, L, nx, nxu)
+    CDsheet = jnp.concatenate([knots.C, knots.D], axis=-1)  # (B, L, nc, nxu)
     padv = lambda a: jnp.pad(a, ((0, 0), (0, 0), (0, nmax - a.shape[-1])))
     vecs = jnp.stack(
-        [padv(knots.q), padv(knots.r), padv(knots.f), padv(knots.d)], axis=2
-    )  # (B, L, 4, nmax)
+        [
+            padv(jnp.concatenate([knots.q, knots.r], axis=-1)),
+            padv(knots.f),
+            padv(knots.d),
+        ],
+        axis=2,
+    )  # (B, L, 3, nmax)
 
     def in_spec(*shape):
         return pl.BlockSpec(
@@ -540,11 +615,9 @@ def backward_sweep_batched(
     )
 
     out_shapes = [
-        jax.ShapeDtypeStruct((Bsz, L, nu, nx), dt),   # K
-        jax.ShapeDtypeStruct((Bsz, L, nc, nx), dt),   # Z
-        jax.ShapeDtypeStruct((Bsz, L, nx, nx), dt),   # Acl
-        jax.ShapeDtypeStruct((Bsz, L, nx, nx), dt),   # Vxx
-        jax.ShapeDtypeStruct((Bsz, L, 4, nmax), dt),  # [kff, zff, yff, vx]
+        jax.ShapeDtypeStruct((Bsz, L, 2 * nus, nx), dt),   # [K; Z] rows
+        jax.ShapeDtypeStruct((Bsz, L, nx, 2 * nx), dt),    # [Acl | Vxx]
+        jax.ShapeDtypeStruct((Bsz, L, 4, nmax), dt),       # [kff, zff, yff, vx]
     ]
     out_specs = [in_spec(*s.shape[2:]) for s in out_shapes]
 
@@ -555,14 +628,10 @@ def backward_sweep_batched(
         kern,
         grid=(nbt, L),
         in_specs=[
-            in_spec(nx, nx),   # Q
-            in_spec(nx, nu),   # S
-            in_spec(nu, nu),   # R
-            in_spec(nx, nx),   # A
-            in_spec(nx, nu),   # B
-            in_spec(nc, nx),   # C
-            in_spec(nc, nu),   # D
-            in_spec(4, nmax),  # packed [q, r, f, d]
+            in_spec(nxu, nxu),  # H0
+            in_spec(nx, nxu),   # M
+            in_spec(nc, nxu),   # CD
+            in_spec(3, nmax),   # packed [q·r, f, d]
             mu_spec,
         ],
         out_specs=out_specs,
@@ -571,15 +640,14 @@ def backward_sweep_batched(
             pltpu.VMEM((tb, nx, nx), dt),
             pltpu.VMEM((tb, nx), dt),
         ],
-        # the unrolled solve chains need more scoped VMEM than the 16 MB
-        # compiler default; v5e has far more physical VMEM
+        # the in-kernel factorization temporaries need more scoped VMEM
+        # than the 16 MB compiler default; v5e has far more physical VMEM
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
         interpret=_interpret(),
-    )(
-        knots.Q, knots.S, knots.R,
-        knots.A, knots.B, knots.C, knots.D, vecs, mu3,
-    )
-    K, Z, Acl, Vxx, vec_o = outs
+    )(H0, Msheet, CDsheet, vecs, mu3)
+    KZ_o, AV_o, vec_o = outs
+    K, Z = KZ_o[:, :, :nu], KZ_o[:, :, nus : nus + nc]
+    Acl, Vxx = AV_o[..., :nx], AV_o[..., nx:]
     kff, zff = vec_o[:, :, 0, :nu], vec_o[:, :, 1, :nc]
     yff, vx = vec_o[:, :, 2, :nx], vec_o[:, :, 3, :nx]
     # exact parity with the jnp terminal solve: unused closed-loop terms
