@@ -11,11 +11,14 @@ the *entire backward sweep* into ONE kernel launch:
     sequentially, so the cost-to-go carry (Vxx, vx) lives in VMEM
     scratch that persists across grid steps; knots stream HBM→VMEM via
     Pallas' automatic double-buffered pipeline;
-  * each grid step processes a TB-problem batch tile: the stage GEMMs
-    run batched on the MXU; the saddle-point KKT is solved with the
-    fixed-pivot Schur elimination (linalg/schur.py) using an *unrolled*
-    in-kernel Cholesky + forward/backward substitution on the VPU
-    (nu, nc ≤ ~128 tiles);
+  * each grid step processes a TB-problem batch tile: operands arrive
+    as lane-dense PACKED SHEETS (H0=[[Q,S],[Sᵀ,R]], M=[A|B], CD=[C|D] —
+    kills the 2.3–5.8× lane padding of narrow blocks and fuses the five
+    hat-GEMMs into two); the saddle-point KKT is solved through the
+    EXPLICIT fixed-pivot inverse T (Cholesky-factor inverses from
+    full-lane VPU chains in a lanes-major (n, n, TB) layout, every
+    apply one MXU GEMM — batched small dot_generals unroll into TB
+    sequential MXU issues, so GEMM-call count is the cost model);
   * the forward closed-loop rollout is a second, much lighter kernel
     with the state as the VMEM carry.
 
@@ -23,7 +26,9 @@ Why: XLA lowers batched cholesky/triangular_solve to long chains of
 tiny ops inside the ``lax.scan``, leaving the chip ~99% idle (measured
 0.26 TFLOP/s on the r02 bench vs 18.5 TFLOP/s achievable on the same
 batched-GEMM shapes). Fusing the sweep removes the per-op dispatch and
-relayout traffic entirely.
+relayout traffic; the round-5 restructure above then cut the per-stage
+batched-GEMM calls ~3× (r4 75 → 57 ms per b256 backward launch,
+end-to-end bench 1290 → 1920+ solves/s, scripts/bench_kernel.py).
 
 Scope: the θ-parameterization (nth>0, used by the leg-parallel solver)
 and f64 stay on the jnp path; this kernel accelerates the serial
@@ -72,31 +77,6 @@ def _i32(*vals):
     typed index arithmetic traces as i64 and Mosaic rejects the whole
     gridded kernel with a cryptic `failed to legalize 'func.return'`."""
     return tuple(jnp.asarray(v, jnp.int32) for v in vals)
-
-
-# ---------------------------------------------------------------------------
-# In-kernel dense solves (unrolled — n is a static Python int ≤ ~128)
-# ---------------------------------------------------------------------------
-
-
-def _chol(A: jax.Array) -> jax.Array:
-    """Lower Cholesky of a batch of SPD matrices (TB, n, n), unrolled
-    right-looking. Exploits symmetry of the running ``A`` so column
-    extraction is a (cheap) sublane slice. Indefiniteness surfaces as
-    NaN, the library-wide detection convention (linalg/schur.py)."""
-    n = A.shape[-1]
-    L = jnp.zeros_like(A)
-    # masks/one-hots are built from an in-kernel iota (pallas kernels may
-    # not capture array constants)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
-    for j in range(n):
-        d = jax.lax.rsqrt(A[:, j, j])  # (TB,)
-        mask = (iota >= j).astype(A.dtype)
-        col = A[:, j, :] * mask * d[:, None]  # (TB, n) = L[i>=j, j]
-        ej = (iota == j).astype(A.dtype)[:, None, :]  # (1, 1, n)
-        L = L + col[:, :, None] * ej
-        A = A - col[:, :, None] * col[:, None, :]
-    return L
 
 
 def _bmm(a: jax.Array, b: jax.Array) -> jax.Array:
@@ -181,116 +161,6 @@ def _kkt_solve_T(Rh, Dt, mu, rhs, refine_steps, nus):
     return sol
 
 
-# ---------------------------------------------------------------------------
-# Blocked explicit-inverse solves — the chain-latency fix (round 5).
-#
-# The r3 kernel ran unrolled O(n)-step substitution chains for every
-# triangular solve; r4's blocked version cut the chain ~2.5× but still
-# re-ran an 8-step blocked substitution per solve — 500–1000 sequential
-# lane-starved VPU ops per stage (docs/trace_analysis_r4.md). This round
-# the Cholesky loop ACCUMULATES THE EXPLICIT FACTOR INVERSE L⁻¹ (one
-# extra MXU GEMM per 8-wide block — the per-block diagonal inverses were
-# already being computed), after which every downstream solve is two MXU
-# GEMMs (A⁻¹B = L⁻ᵀ(L⁻¹B)) with NO substitution chain at all. Critical
-# path per stage drops to 2 blocked factorizations (~2×30 sequential
-# steps) + pure GEMMs. Accuracy: forming L⁻¹ row-block-wise is stable up
-# to a κ(L)=√κ(A) factor; the kernel's static-count iterative refinement
-# (refine_steps) corrects the rounding exactly as it did for
-# substitution, and the GAR KKT gate (tests/test_gar_riccati.py, ≤1e-9
-# f64 / talos f32 convergence) pins the result.
-# ---------------------------------------------------------------------------
-
-_BLK = 8
-_BLK_MIN = 12
-_BLK_INNER = 8  # default factorization block (see _chol_inv_b)
-
-
-def _inv_lower_all(L):
-    """Inverses of a stack of lower-triangular k×k blocks.
-    L: (..., nb, k, k) → (..., nb, k, k); unrolled forward substitution
-    on the identity — chain length k regardless of nb. Rows/diagonals are
-    extracted with one-hot mask reductions, NOT integer indexing: on
-    rank-4 operands Mosaic lowers double indexing to a >2D gather and
-    rejects the kernel ("Only 2D gather is supported")."""
-    k = L.shape[-1]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)  # (1, k)
-    eye_rows = [
-        (iota == j).astype(L.dtype)[0] for j in range(k)
-    ]  # each (k,)
-    X = jnp.zeros_like(L)
-    for j in range(k):
-        ej = eye_rows[j]
-        row_j = jnp.sum(L * ej[:, None], axis=-2)  # (..., nb, k) = L[..., j, :]
-        acc = jnp.sum(row_j[..., :, None] * X, axis=-2)  # (..., nb, k)
-        diag_j = jnp.sum(row_j * ej, axis=-1, keepdims=True)
-        xj = (ej - acc) / diag_j
-        X = X + xj[..., None, :] * ej[:, None]
-    return X
-
-
-def _pad_square_identity(A, npad):
-    """Pad (TB, n, n) → (TB, n+npad, n+npad) with an identity tail block
-    (so Cholesky/solves of the padded matrix embed the original)."""
-    if npad == 0:
-        return A
-    n = A.shape[-1]
-    A = jnp.pad(A, ((0, 0), (0, npad), (0, npad)))
-    m = n + npad
-    r = jax.lax.broadcasted_iota(jnp.int32, (m, m), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (m, m), 1)
-    tail_eye = ((r == c) & (r >= n)).astype(A.dtype)
-    return A + tail_eye
-
-
-def _chol_inv_b(A, blk: Optional[int] = None):
-    """Blocked lower Cholesky of (TB, n, n) SPD, returning Li = L⁻¹
-    (lower-triangular) directly. Chain per block: blk-step diagonal
-    factor + blk-step diagonal inverse; all off-diagonal updates are
-    MXU GEMMs, with the [Sjj; P] panel merged into one GEMM and the
-    first block's (empty) updates elided. The running inverse costs two
-    GEMMs per later block (X_j,: = L_jj⁻¹(E_j − L_{j,<j}X)).
-    Indefiniteness surfaces as NaN via the diagonal rsqrt, the
-    library-wide convention."""
-    n = A.shape[-1]
-    if n <= _BLK_MIN:
-        return _inv_lower_all(_chol(A)[:, None])[:, 0]
-    # bigger blocks trade chain length for GEMM-call count but also blow
-    # up the unrolled-chain program Mosaic has to compile (blk=16 at
-    # N=100 stages did not finish compiling in 9 min on the axon helper)
-    blk = blk or _BLK_INNER
-    nb = -(-n // blk)
-    npad = nb * blk - n
-    Ap = _pad_square_identity(A, npad)
-    m = nb * blk
-    L = jnp.zeros_like(Ap)
-    X = jnp.zeros_like(Ap)  # running inverse of the factored row blocks
-    for j in range(nb):
-        sl = slice(blk * j, blk * (j + 1))
-        Lrow = L[:, sl, :]  # cols ≥ current block still zero
-        if j == 0:
-            SP = Ap[:, :, sl]  # L is all-zero: no update GEMM
-        else:
-            SP = Ap[:, blk * j :, sl] - _bmm(
-                L[:, blk * j :, :], jnp.swapaxes(Lrow, -1, -2)
-            )
-        Sjj = SP[:, :blk, :]
-        Ljj = _chol(Sjj)  # (TB, blk, blk), unrolled
-        inv_j = _inv_lower_all(Ljj[:, None])[:, 0]
-        if j + 1 < nb:
-            Lpan = _bmm(SP[:, blk:, :], jnp.swapaxes(inv_j, -1, -2))
-            L = L + jnp.pad(
-                Lpan, ((0, 0), (blk * (j + 1), 0), (blk * j, m - blk * (j + 1)))
-            )
-        if j == 0:
-            Xj = jnp.pad(inv_j, ((0, 0), (0, 0), (0, m - blk)))
-        else:
-            Xj = jnp.pad(
-                inv_j, ((0, 0), (0, 0), (blk * j, m - blk * (j + 1)))
-            ) - _bmm(inv_j, _bmm(Lrow, X))
-        X = X + jnp.pad(Xj, ((0, 0), (blk * j, m - blk * (j + 1)), (0, 0)))
-    return X[:, :n, :n] if npad else X
-
-
 def _apply_spd_inv(Li, B):
     """A⁻¹B = Liᵀ(Li B) for Li = chol(A)⁻¹ — two MXU GEMMs, no chain."""
     return _bmT(Li, _bmm(Li, B))
@@ -301,9 +171,9 @@ def _chol_inv_lanes(A):
     batch filling the 128-lane axis.
 
     Why this layout: Mosaic unrolls batched (TB, ·, ·) dot_generals into
-    TB sequential MXU issues, so the blocked _chol_inv_b spent ~16
-    batched-GEMM calls × TB issues per stage on factorization alone (and
-    its sublane-major chain steps used ≤ n of 128 lanes). Lanes-major
+    TB sequential MXU issues, so the r4 blocked-GEMM factorization spent
+    ~16 batched-GEMM calls × TB issues per stage on factorization alone
+    (and its sublane-major chain steps used ≤ n of 128 lanes). Lanes-major
     runs the SAME unrolled chains as full-lane VPU ops: every
     instruction processes all TB problems at once, and no MXU issue is
     involved. Symmetry makes column extraction free (column j of the

@@ -342,11 +342,11 @@ def build_quadruped(dtype=jnp.float64) -> MultibodyModel:
 
     def add_leg(fx, fy):
         haa = add("revolute", X, base, (fx * 0.19, fy * 0.1046, 0.0),
-                  0.15, (0, 0, 0), (0.02, 0.02, 0.02))
+                  0.15, (0, 0, 0), (0.03, 0.03, 0.03))
         hfe = add("revolute", Y, haa, (0, fy * 0.014, 0),
-                  0.15, (0, 0, -upper / 2), (0.02, 0.02, upper / 2))
+                  0.2, (0, 0, -upper / 2), (0.03, 0.03, upper / 2))
         kfe = add("revolute", Y, hfe, (0, 0, -upper),
-                  0.03, (0, 0, -lower / 2), (0.013, 0.013, lower / 2))
+                  0.1, (0, 0, -lower / 2), (0.02, 0.02, lower / 2))
         return kfe
 
     fl = add_leg(+1, +1)

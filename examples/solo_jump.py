@@ -39,7 +39,9 @@ FEET = ("fl_foot", "fr_foot", "hl_foot", "hr_foot")
 
 
 def create_jump_problem(dt: float = 0.01, t_takeoff: float = 0.4,
-                        t_land: float = 1.0, tf: float = 1.2,
+                        t_land: float = 0.9, tf: float = 1.2,
+                        kp: float = 10.0, kd: float = 6.0,
+                        w_land_val: float = 1e3,
                         dtype=jnp.float64):
     model = mb.build_quadruped(dtype)
     space = mb.MultibodyPhaseSpace(model)
@@ -51,8 +53,10 @@ def create_jump_problem(dt: float = 0.01, t_takeoff: float = 0.4,
     act = floating_base_actuation(model, dtype)
     contacts = mb.anchor_at_configuration(
         model,
+        # soft Baumgarte: at landing the feet re-anchor from mid-air, and
+        # stiff correction gains blow up the linesearch trial rollouts
         mb.make_contact_set(model, tuple((f, 3) for f in FEET),
-                            kp=100.0, kd=60.0, dtype=dtype),
+                            kp=kp, kd=kd, dtype=dtype),
         q0,
     )
 
@@ -61,8 +65,7 @@ def create_jump_problem(dt: float = 0.01, t_takeoff: float = 0.4,
     ks = np.arange(nsteps)
     in_flight = ((ks >= k0) & (ks < k1)).astype(float)
     active = jnp.asarray(np.tile((1.0 - in_flight)[:, None], (1, 4)), dtype)
-    w_land = jnp.asarray((ks == k1 - 0).astype(float) * 0.0
-                         + (ks == min(k1, nsteps - 1)).astype(float) * 1e4,
+    w_land = jnp.asarray((ks == min(k1, nsteps - 1)).astype(float) * w_land_val,
                          dtype)
 
     ode = MultibodyConstraintFwdDynamics(model=model, actuation=act,

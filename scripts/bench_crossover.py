@@ -42,34 +42,40 @@ LEGS = 8
 
 
 def make_problem(N: int, bsz: int, dtype=jnp.float32):
+    """Batched LQRProblem with leading (bsz,) axes on every leaf —
+    consumed through jax.vmap(solver). Time-invariant SPD blocks keep
+    the host-side build cheap at N=8192."""
     rng = np.random.default_rng(0)
 
     def spd(n, scale):
-        M = rng.standard_normal((bsz, N + 1, n, n)).astype(np.float32)
-        return scale * (M @ M.transpose(0, 1, 3, 2) / n + np.eye(n, dtype=np.float32))
+        M = rng.standard_normal((bsz, n, n)).astype(np.float32)
+        blk = scale * (M @ M.transpose(0, 2, 1) / n + np.eye(n, dtype=np.float32))
+        return np.broadcast_to(blk[:, None], (bsz, N + 1, n, n))
 
-    def mk(b):
-        return LQRProblem(
-            Q=jnp.asarray(spd(NX, 0.1)[b], dtype),
-            S=jnp.zeros((N + 1, NX, NU), dtype),
-            R=jnp.asarray(spd(NU, 0.1)[b], dtype),
-            q=jnp.asarray(0.01 * rng.standard_normal((N + 1, NX)), dtype),
-            r=jnp.asarray(0.01 * rng.standard_normal((N + 1, NU)), dtype),
-            A=jnp.asarray(np.eye(NX) + 0.05 * rng.standard_normal((N + 1, NX, NX))
-                          / np.sqrt(NX), dtype),
-            B=jnp.asarray(rng.standard_normal((N + 1, NX, NU)) / np.sqrt(NX), dtype),
-            f=jnp.asarray(0.01 * rng.standard_normal((N + 1, NX)), dtype),
-            C=jnp.zeros((N + 1, NC, NX), dtype),
-            D=jnp.asarray(np.tile(np.eye(NC, NU), (N + 1, 1, 1)), dtype),
-            d=jnp.asarray(0.01 * rng.standard_normal((N + 1, NC)), dtype),
-            Gx=jnp.zeros((N + 1, NX, 0), dtype),
-            Gu=jnp.zeros((N + 1, NU, 0), dtype),
-            Gth=jnp.zeros((N + 1, 0, 0), dtype),
-            gamma=jnp.zeros((N + 1, 0), dtype),
-            G0=jnp.zeros((0, NX), dtype), g0=jnp.zeros((0,), dtype),
-        )
-
-    return jax.vmap(mk)(jnp.arange(bsz))
+    L = N + 1
+    return LQRProblem(
+        Q=jnp.asarray(spd(NX, 0.1), dtype),
+        S=jnp.zeros((bsz, L, NX, NU), dtype),
+        R=jnp.asarray(spd(NU, 0.1), dtype),
+        q=jnp.asarray(0.01 * rng.standard_normal((bsz, L, NX)), dtype),
+        r=jnp.asarray(0.01 * rng.standard_normal((bsz, L, NU)), dtype),
+        A=jnp.asarray(
+            np.broadcast_to(
+                np.eye(NX) + 0.05 * rng.standard_normal((bsz, 1, NX, NX))
+                / np.sqrt(NX), (bsz, L, NX, NX)), dtype),
+        B=jnp.asarray(
+            np.broadcast_to(rng.standard_normal((bsz, 1, NX, NU))
+                            / np.sqrt(NX), (bsz, L, NX, NU)), dtype),
+        f=jnp.asarray(0.01 * rng.standard_normal((bsz, L, NX)), dtype),
+        C=jnp.zeros((bsz, L, NC, NX), dtype),
+        D=jnp.asarray(np.broadcast_to(np.eye(NC, NU), (bsz, L, NC, NU)), dtype),
+        d=jnp.asarray(0.01 * rng.standard_normal((bsz, L, NC)), dtype),
+        Gx=jnp.zeros((bsz, L, NX, 0), dtype),
+        Gu=jnp.zeros((bsz, L, NU, 0), dtype),
+        Gth=jnp.zeros((bsz, L, 0, 0), dtype),
+        gamma=jnp.zeros((bsz, L, 0), dtype),
+        G0=jnp.zeros((bsz, 0, NX), dtype), g0=jnp.zeros((bsz, 0), dtype),
+    )
 
 
 def sync(x):
@@ -116,6 +122,11 @@ if __name__ == "__main__":
             for bsz in BATCHES:
                 key = f"{name}_N{N}_b{bsz}"
                 if key in results:
+                    continue
+                if bsz * N > 70_000:
+                    # knots alone ~50 KB/stage/problem — configs past
+                    # ~70k problem-stages blow the 16 GB HBM
+                    results[key] = "skipped: exceeds HBM"
                     continue
                 try:
                     rate, ms = bench(name, N, bsz)
