@@ -338,11 +338,12 @@ def _backward_kernel(
 
 
 def _pick_tb(bsz: int, nx: int = 56) -> int:
-    """Largest batch tile that fits: tb=64 compiles and measures fastest
-    with the blocked solves at nx<=64 (the unblocked kernel's chain
-    temporaries used to blow the scoped-VMEM budget there); larger
-    states fall back to 32-wide tiles."""
-    tbs = (64, 32, 16, 8, 4, 2, 1) if nx <= 64 else (32, 16, 8, 4, 2, 1)
+    """Largest batch tile that fits: with the packed sheets + explicit-T
+    KKT, tb=128 measures fastest at nx≤64 (57.0 vs 58.5 ms per b256
+    backward launch, scripts/bench_kernel.py r5) and halves the
+    batched-GEMM unroll count per grid step; larger states fall back to
+    32-wide tiles."""
+    tbs = (128, 64, 32, 16, 8, 4, 2, 1) if nx <= 64 else (32, 16, 8, 4, 2, 1)
     for tb in tbs:
         if bsz % tb == 0:
             return tb

@@ -139,9 +139,12 @@ def _model_from_spec(m: dict, dtype):
     if t == "serial_chain":
         return mb.build_serial_chain(n_links=int(m["n_links"]), dtype=dtype)
     if t == "humanoid":
-        from aligator_tpu.multibody.model import build_humanoid
+        # same resolution as examples/talos_walk.py (URDF asset → builder
+        # fallback) so spec-built problems stay pytree-identical to the
+        # hand-built ones
+        from aligator_tpu.multibody.urdf import load_talos_like
 
-        return build_humanoid(dtype)
+        return load_talos_like(dtype)
     if t == "urdf":
         from aligator_tpu.multibody.urdf import load_urdf
 

@@ -331,6 +331,36 @@ def model_to_urdf(model: MultibodyModel, name: str = "robot") -> str:
     return "\n".join(out)
 
 
+def load_talos_like(dtype=jnp.float64) -> MultibodyModel:
+    """The talos-walk robot model, resolved in priority order:
+
+    1. ``ALIGATOR_TPU_TALOS_URDF`` env var — path to a real
+       ``talos_reduced.urdf`` (the reference's asset,
+       talos-walk-utils.cpp:13-17; not redistributable here, but
+       consumed directly when provided; must use the reduced joint set:
+       legs 2×6, torso 2, arms 2×4);
+    2. the shipped ``examples/assets/talos_like.urdf`` — the
+       talos-dimension model exported by ``model_to_urdf(build_humanoid())``
+       (identical dynamics, exercised through the URDF pipeline);
+    3. ``build_humanoid`` itself (no-asset fallback).
+
+    Used by both ``examples/talos_walk.py`` and the problem-spec model
+    type ``{"type": "humanoid"}`` so spec round trips stay pytree-exact.
+    """
+    env_path = os.environ.get("ALIGATOR_TPU_TALOS_URDF")
+    if env_path:
+        return load_urdf(env_path, free_flyer=True, dtype=dtype)
+    asset = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        "examples", "assets", "talos_like.urdf",
+    )
+    if os.path.exists(asset):
+        return load_urdf(asset, dtype=dtype)  # floating joint is in-file
+    from aligator_tpu.multibody.model import build_humanoid
+
+    return build_humanoid(dtype)
+
+
 def load_ur5(dtype=jnp.float64) -> MultibodyModel:
     """The vendored UR5 model (examples/assets/ur5.urdf): nq = nv = 6,
     matching ``pin.buildModelFromUrdf(ur5.urdf)``."""

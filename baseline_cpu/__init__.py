@@ -58,3 +58,43 @@ def riccati_solve_cpp(Q, S, R, q, r, A, B, f, C, D, d, mueq, iters=1):
     if rc != 0:
         raise RuntimeError(f"riccati_solve failed rc={rc}")
     return xs
+
+
+_BOXQP_SO = os.path.join(_DIR, "libboxqp_baseline.so")
+_BOXQP_SRC = os.path.join(_DIR, "boxqp_baseline.cpp")
+
+
+def load_boxqp():
+    """Load (building if needed) the independent box-QP LQR oracle
+    (boxqp_baseline.cpp — the ProxDDP solver-level cross-check)."""
+    if (not os.path.exists(_BOXQP_SO)
+            or os.path.getmtime(_BOXQP_SO) < os.path.getmtime(_BOXQP_SRC)):
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+             "-o", _BOXQP_SO, _BOXQP_SRC],
+            check=True, cwd=_DIR,
+        )
+    lib = ctypes.CDLL(_BOXQP_SO)
+    fn = lib.boxqp_lqr_solve
+    dp = ctypes.POINTER(ctypes.c_double)
+    fn.argtypes = [dp] * 9 + [ctypes.c_int] * 3 + [dp, dp]
+    fn.restype = ctypes.c_int
+    return fn
+
+
+def boxqp_lqr_solve_cpp(A, B, c, Q, R, Qf, x0, lo, hi, N):
+    """Exact optimum of the box-constrained LQR via the C++ active-set
+    oracle. Returns (xs (N+1, nx), us (N, nu))."""
+    fn = load_boxqp()
+    arrs = [np.ascontiguousarray(a, dtype=np.float64)
+            for a in (A, B, c, Q, R, Qf, x0, lo, hi)]
+    nx = arrs[0].shape[0]
+    nu = arrs[1].shape[1]
+    us = np.zeros((N, nu))
+    xs = np.zeros((N + 1, nx))
+    dp = ctypes.POINTER(ctypes.c_double)
+    rc = fn(*[a.ctypes.data_as(dp) for a in arrs], nx, nu, N,
+            us.ctypes.data_as(dp), xs.ctypes.data_as(dp))
+    if rc != 0:
+        raise RuntimeError(f"boxqp_lqr_solve failed rc={rc}")
+    return xs, us

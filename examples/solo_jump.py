@@ -12,7 +12,11 @@ The TPU twist (as talos_walk): the whole jump is ONE stacked problem —
 phases are per-stage ``active`` leaves and the landing terms per-stage
 cost weights of a single jitted program. The reference's stage-k1
 landing equality constraints are expressed as phase-gated quadratic
-costs (weight w_land at touchdown, 0 elsewhere).
+costs (weight w_land at touchdown, 0 elsewhere). Defaults use a 0.2 s
+flight (≈5 cm ballistic apex) with SOFT Baumgarte gains — at touchdown
+the feet re-anchor from mid-air, and stiff correction (the stance
+kp=100) blows up the linesearch trial rollouts; this is the tuned
+convergent configuration (stand/hop/jump bisect, r5).
 
 Run: JAX_PLATFORMS=cpu JAX_ENABLE_X64=1 PYTHONPATH=. python examples/solo_jump.py
 """
@@ -38,8 +42,8 @@ from aligator_tpu.solvers import ProxDDPSettings, proxddp_solve
 FEET = ("fl_foot", "fr_foot", "hl_foot", "hr_foot")
 
 
-def create_jump_problem(dt: float = 0.01, t_takeoff: float = 0.4,
-                        t_land: float = 0.9, tf: float = 1.2,
+def create_jump_problem(dt: float = 0.02, t_takeoff: float = 0.4,
+                        t_land: float = 0.6, tf: float = 0.9,
                         kp: float = 10.0, kd: float = 6.0,
                         w_land_val: float = 1e3,
                         dtype=jnp.float64):
@@ -127,7 +131,7 @@ def main():
 
     force_cpu_f64()
     problem, model, (k0, k1) = create_jump_problem()
-    settings = ProxDDPSettings(tol=1e-4, mu_init=1e-5, max_iters=300)
+    settings = ProxDDPSettings(tol=1e-3, mu_init=1e-2, max_iters=200)
     res = jax.jit(lambda p: proxddp_solve(p, settings))(problem)
     base_z = res.xs[:, 2]
     print(

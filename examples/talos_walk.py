@@ -71,32 +71,12 @@ def walk_phases(T_ss: int, T_ds: int):
 
 
 def load_walk_model(dtype=jnp.float64):
-    """The walk's robot model, resolved in priority order:
+    """The walk's robot model: real talos_reduced.urdf via the
+    ``ALIGATOR_TPU_TALOS_URDF`` env var, else the shipped URDF asset,
+    else ``build_humanoid`` (see multibody.urdf.load_talos_like)."""
+    from aligator_tpu.multibody.urdf import load_talos_like
 
-    1. ``ALIGATOR_TPU_TALOS_URDF`` env var — path to a real
-       ``talos_reduced.urdf`` (the reference's asset,
-       talos-walk-utils.cpp:13-17; it is not redistributable in this
-       repo, but the loader consumes it directly when provided; the
-       file must use the reduced joint set: legs 2×6, torso 2, arms
-       2×4, with ``left_sole_link``/``right_sole_link``);
-    2. the shipped ``examples/assets/talos_like.urdf`` — the
-       talos-dimension model exported by
-       ``multibody.urdf.model_to_urdf(build_humanoid())`` (equivalent
-       dynamics to ``build_humanoid``, exercised through the URDF
-       pipeline);
-    3. ``build_humanoid`` itself (no-asset fallback)."""
-    import os
-
-    from aligator_tpu.multibody.urdf import load_urdf
-
-    env_path = os.environ.get("ALIGATOR_TPU_TALOS_URDF")
-    if env_path:
-        return load_urdf(env_path, free_flyer=True, dtype=dtype)
-    asset = os.path.join(os.path.dirname(__file__), "assets",
-                         "talos_like.urdf")
-    if os.path.exists(asset):
-        return load_urdf(asset, dtype=dtype)  # floating joint is in-file
-    return build_humanoid(dtype)
+    return load_talos_like(dtype)
 
 
 def create_walk_problem(T_ss: int = 20, T_ds: int = 10, dt: float = 0.01,

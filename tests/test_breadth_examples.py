@@ -48,12 +48,12 @@ def test_ur5_ballistic_hits_target():
 def test_solo_jump_flight_phase():
     from examples.solo_jump import create_jump_problem
 
-    problem, model, (k0, k1) = create_jump_problem(dt=0.02)
-    s = ProxDDPSettings(tol=1e-3, mu_init=1e-4, max_iters=300)
+    problem, model, (k0, k1) = create_jump_problem()
+    s = ProxDDPSettings(tol=1e-3, mu_init=1e-2, max_iters=200)
     res = jax.jit(lambda p: proxddp_solve(p, s))(problem)
+    assert bool(res.conv)
     base_z = np.asarray(res.xs[:, 2])
-    # physical jump: apex clearly above stance height, landing back near it
-    assert base_z.max() > base_z[0] + 0.10
+    # physical jump: apex clearly above stance height (0.2 s flight ≈
+    # +5 cm ballistic apex), landing back near it
+    assert base_z.max() > base_z[0] + 0.04
     assert abs(base_z[-1] - base_z[0]) < 0.08
-    # residuals at a usable level even if the strict tol gate is missed
-    assert float(res.prim_infeas) < 5e-3
