@@ -169,17 +169,28 @@ class ProxDDPSettings:
     # when False (no checks are traced).
     debug: bool = False
     # LQ solver choice (reference LQSolverChoice: LQ_SOLVER_SERIAL /
-    # PARALLEL / STAGEDENSE). "parallel" additionally needs lq_num_legs>1
-    # (and optionally a mesh for sharded legs); "stagedense" is the O(N)
-    # per-stage [u,ν,x⁺,λ⁺] LU recursion (gar/stagedense.py — the
-    # reference's RiccatiSolverDense analogue, robust for ill-conditioned
-    # subproblems); "dense_oracle" solves the monolithic dense KKT
-    # (gar/dense.py — an O((N·n)³) test oracle); "assoc" is the log-depth
-    # associative-scan Riccati (gar/assoc.py — no reference analogue; best
-    # single-instance latency on long horizons); "pallas" is the fused
-    # single-launch TPU kernel (gar/pallas_riccati.py — nth==0 only,
-    # gains available for the nonlinear rollout; the batched-MPC fast
-    # path on chip).
+    # PARALLEL / STAGEDENSE). Measured chip guidance (v5e, talos dims,
+    # docs/lq_crossover_r5.json — the full horizon×batch sweep):
+    #   * "pallas" (fused single-launch kernel, nth==0 only) wins EVERY
+    #     swept regime on chip — batched throughput (2.7× serial at
+    #     N=128 b=64) AND single-instance long-horizon latency (2.3×
+    #     serial, 1.5× parallel at N=2048 b=1) — use it whenever its
+    #     nth==0 scope fits;
+    #   * when θ-blocks force the jnp path: "serial" for batched work;
+    #     "parallel" partitioned condensing for single-instance long
+    #     horizons (1.5× serial at N=2048, 1.65× at N=8192 — the
+    #     reference ParallelRiccatiSolver's role; needs lq_num_legs>1,
+    #     optionally a mesh for sharded legs, and is the only solver
+    #     that shards the horizon ACROSS chips);
+    #   * "assoc" (log-depth associative scan, no reference analogue)
+    #     measured SLOWER than serial in every swept regime on one chip
+    #     — its O(log N) depth only pays once compositions outweigh the
+    #     4× FLOP overhead, which a single v5e never reached; kept as a
+    #     correctness-complete alternative formulation;
+    #   * "stagedense": O(N) per-stage [u,ν,x⁺,λ⁺] LU recursion
+    #     (reference RiccatiSolverDense analogue, robust for
+    #     ill-conditioned subproblems); "dense_oracle": monolithic dense
+    #     KKT (an O((N·n)³) test oracle).
     lq_solver: str = "serial"  # serial|parallel|stagedense|dense_oracle|assoc|pallas
     # parallel (partitioned-condensing) LQ solver: number of legs; 0 = serial
     lq_num_legs: int = 0

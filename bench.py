@@ -322,6 +322,9 @@ def bench_talos_walk():
     settings = ProxDDPSettings(
         tol=TALOS_TOL, dual_tol=TALOS_DUAL_TOL, mu_init=1e-8, max_iters=40,
         riccati_refine=1, cost_scale=TALOS_COST_SCALE, lq_refine_full=1,
+        # the crossover sweep (docs/lq_crossover_r5.json) has the fused
+        # kernel fastest at every (N, b) incl. b=1 long horizons
+        lq_solver="pallas",
     )
     nv = model.nv
     rng = np.random.default_rng(7)
@@ -391,7 +394,7 @@ def bench_talos_mpc_cycle():
     settings = ProxDDPSettings(
         tol=TALOS_TOL, dual_tol=TALOS_DUAL_TOL, mu_init=1e-8,
         max_iters=2, max_al_iters=2, riccati_refine=1,
-        cost_scale=TALOS_COST_SCALE, lq_refine_full=1,
+        cost_scale=TALOS_COST_SCALE, lq_refine_full=1, lq_solver="pallas",
     )
 
     def step(x, st):
