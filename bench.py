@@ -127,13 +127,14 @@ def bench_tpu():
     best = (0.0, None)
     for lq_solver in LQ_SOLVERS:
         # assoc/parallel are characterized at b64 only (latency-oriented
-        # solvers); pallas caps at b512 — the b1024 solver path cannot
-        # exist on one chip (the lane-padded knots alone exceed HBM,
-        # docs/trace_analysis_r4.md) and the failed attempt FAULTS the
-        # device, poisoning every subsequent metric in the process
+        # solvers; the full horizon×batch story is docs/lq_crossover_r5.json).
+        # pallas b1024 is REAL again in r5: _chunked intercepts every
+        # batch > 512 (two ≤512 launches with the layout copies pinned
+        # in-loop), so the r3/r4 HBM-infeasible direct path — which
+        # FAULTED the device — can no longer be reached
         batches = {
             "serial": BATCHES,
-            "pallas": (64, 256, 512),
+            "pallas": (64, 256, 512, 1024),
         }.get(lq_solver, (64,))
         for batch in batches:
             try:
