@@ -99,3 +99,79 @@ def test_proxddp_lq_solver_pallas():
     np.testing.assert_allclose(
         np.asarray(res_p.xs), np.asarray(res_s.xs), atol=1e-4
     )
+
+
+def test_pallas_chunked_non_divisible_batch(monkeypatch):
+    """ADVICE r4 medium: a batch above the chunk cap that is NOT a
+    multiple of it must be padded+chunked (the direct path at such
+    sizes was the r3/r4 HBM-infeasible device-faulting config), and the
+    result must match the per-problem solves."""
+    monkeypatch.setattr(PR, "_MAX_PALLAS_BATCH", 4)
+    bsz = 7  # > cap, not a multiple
+    lqs = [_rand_lq(100 + i, N=5, nx=4, nu=2, nc=1) for i in range(bsz)]
+    knots = jax.tree.map(lambda *xs: jnp.stack(xs), *[R.knots_of(p) for p in lqs])
+    mueq = jnp.full((bsz,), 1e-2, DT)
+    gains, vms = PR.backward_sweep_batched(knots, mueq)
+    assert gains.K.shape[0] == bsz
+    for i in (0, 3, 6):
+        g_ref, _ = PR.backward_sweep_batched(
+            jax.tree.map(lambda a: a[i : i + 1], knots), mueq[i : i + 1]
+        )
+        np.testing.assert_allclose(
+            np.asarray(gains.K[i]), np.asarray(g_ref.K[0]), atol=1e-5
+        )
+
+
+def test_io_per_stage_validation():
+    """ADVICE r4: wrong-length per_stage lists and per_stage in
+    single-node positions must raise instead of being silently
+    dropped."""
+    import pytest as _pt
+
+    from aligator_tpu.io import problem_from_spec
+
+    base = {
+        "space": {"type": "vector", "dim": 2},
+        "nu": 1, "nsteps": 3, "x0": [0.0, 0.0],
+        "dynamics": {"type": "linear_discrete",
+                     "A": [[1.0, 0.1], [0.0, 1.0]],
+                     "B": [[0.0], [1.0]], "c": [0.0, 0.0]},
+        "cost": {"type": "quadratic", "Wx": [[1.0, 0], [0, 1.0]],
+                 "Wu": [[0.1]]},
+        "term_cost": {"type": "quadratic", "Wx": [[1.0, 0], [0, 1.0]],
+                      "Wu": [[0.1]]},
+    }
+    ok = dict(base)
+    ok["cost"] = {"type": "stack", "components": [
+        [base["cost"], {"per_stage": [1.0, 2.0, 3.0]}]]}
+    problem_from_spec(ok)  # correct length: fine
+
+    bad_len = dict(base)
+    bad_len["cost"] = {"type": "stack", "components": [
+        [base["cost"], {"per_stage": [1.0, 2.0, 3.0, 4.0]}]]}
+    with _pt.raises(ValueError, match="per_stage list has 4"):
+        problem_from_spec(bad_len)
+
+    bad_pos = dict(base)
+    bad_pos["term_cost"] = {"type": "stack", "components": [
+        [base["cost"], {"per_stage": [1.0, 2.0, 3.0]}]]}
+    with _pt.raises(ValueError, match="not allowed in term_cost"):
+        problem_from_spec(bad_pos)
+
+
+def test_l1_penalty_scale_round_trip():
+    """ADVICE r4: the l1 'scale' is a real field, honored by the prox
+    and round-tripped by the spec exporter."""
+    from aligator_tpu.constraints import L1Penalty
+    from aligator_tpu.io import _set_from_spec, _set_to_spec
+
+    s = L1Penalty(scale=2.5)
+    z = jnp.asarray([3.0, -0.1, 0.0])
+    # prox_{mu*scale*|.|}: threshold = 1.0 * 2.5
+    np.testing.assert_allclose(
+        np.asarray(s.projection(z, 1.0)), [0.5, 0.0, 0.0], atol=1e-12
+    )
+    spec = _set_to_spec(s)
+    assert spec == {"type": "l1", "scale": 2.5}
+    s2 = _set_from_spec(spec)
+    assert s2.scale == 2.5
