@@ -282,3 +282,55 @@ def test_problem_to_spec_round_trips_talos():
     _trees_equal(p2.dynamics, p.dynamics)
     _trees_equal(p2.cost, p.cost)
     _trees_equal(p2.term_cost, p.term_cost)
+
+
+def test_contact_residual_exporters_round_trip():
+    """Round 5 (ADVICE r4): the contact/centroidal-derivative residual
+    classes export to spec and re-import equivalently — the talos class
+    WITH force constraints can round-trip."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from aligator_tpu import multibody as mb
+    from aligator_tpu.dynamics.multibody import floating_base_actuation
+    from aligator_tpu.functions.contact import (
+        ContactForceResidual,
+        MultibodyFrictionConeResidual,
+        MultibodyWrenchConeResidual,
+        wrench_cone_matrix,
+    )
+    from aligator_tpu.io import _residual_from_spec, _residual_to_spec, _Ctx
+    from aligator_tpu.multibody.urdf import load_talos_like
+
+    model = load_talos_like()
+    space = mb.MultibodyPhaseSpace(model)
+    act = floating_base_actuation(model)
+    q0 = jnp.zeros(model.nq).at[6].set(1.0).at[2].set(1.0)
+    cs = mb.anchor_at_configuration(
+        model,
+        mb.make_contact_set(model, (("left_sole", 6), ("right_sole", 6)),
+                            kp=100.0, kd=50.0),
+        q0,
+    )
+    residuals = [
+        ContactForceResidual(model=model, actuation=act, contacts=cs,
+                             fref=jnp.zeros(6), contact_name="left_sole"),
+        MultibodyFrictionConeResidual(model=model, actuation=act, contacts=cs,
+                                      mu=jnp.asarray(0.6),
+                                      contact_name="right_sole"),
+        MultibodyWrenchConeResidual(
+            model=model, actuation=act, contacts=cs,
+            Acone=wrench_cone_matrix(0.7, 0.1, 0.05),
+            contact_name="left_sole"),
+    ]
+    ctx = _Ctx(dtype=jnp.float64, model=model)
+    x = jnp.concatenate([q0, jnp.zeros(model.nv)])
+    u = 0.1 * jnp.ones(model.nv - 6)
+    for r in residuals:
+        spec = _residual_to_spec(r, nsteps=0, model_spec=None)
+        r2 = _residual_from_spec(spec, space, ctx)
+        np.testing.assert_allclose(
+            np.asarray(r.value(x, u)), np.asarray(r2.value(x, u)),
+            atol=1e-10, err_msg=spec["type"],
+        )
