@@ -68,6 +68,11 @@ Schema (all keys lowercase):
          | {"type": "centroidal_friction_cone", "mu":, "epsilon":, "k": 0}
          | {"type": "centroidal_wrench_cone", "mu":, "half_length":,
             "half_width":, "k": 0}
+         | {"type": "frame_collision", "geom1": GEOM, "geom2": GEOM}
+    GEOM = {"frame": "tool0" | null,      # null/absent = world-fixed
+            "kind": "sphere|capsule|box|convex|halfspace",
+            ["radius":], ["half_length":], ["offset_p": [..3..]],
+            ["half_extents": [..3..]], ["vertices": [[..3..], ..]]}
     SET  = {"type": "equality"} | {"type": "negative_orthant"}
          | {"type": "box", "lower": [..], "upper": [..]}
          | {"type": "l1", "scale": s}
@@ -365,7 +370,46 @@ def _residual_from_spec(r: dict, space, ctx: _Ctx):
             mu=float(r.get("mu", 0.7)), hL=float(r.get("half_length", 0.1)),
             hW=float(r.get("half_width", 0.05)), k=int(r.get("k", 0)),
         )
+    if t == "frame_collision":
+        from aligator_tpu.functions.frames import FrameCollisionResidual
+
+        if model is None:
+            raise ValueError("frame_collision residual needs a 'model'")
+        return FrameCollisionResidual(
+            model=model,
+            geom1=_geom_from_spec(r["geom1"], model),
+            geom2=_geom_from_spec(r["geom2"], model),
+        )
     raise ValueError(f"unknown residual type {t!r}")
+
+
+def _geom_from_spec(g: dict, model):
+    from aligator_tpu.multibody.geometry import GeomObject
+
+    frame = g.get("frame")
+    kw = dict(
+        frame_id=-1 if frame is None else model.frame_id(frame),
+        kind=str(g.get("kind", "sphere")),
+        radius=float(g.get("radius", 0.05)),
+        half_length=float(g.get("half_length", 0.0)),
+        offset_p=tuple(g.get("offset_p", (0.0, 0.0, 0.0))),
+        half_extents=tuple(g.get("half_extents", (0.0, 0.0, 0.0))),
+    )
+    if "vertices" in g:
+        kw["vertices"] = tuple(tuple(v) for v in g["vertices"])
+    return GeomObject(**kw)
+
+
+def _geom_to_spec(g, model) -> dict:
+    out = {
+        "frame": None if g.frame_id < 0 else model.frames[g.frame_id].name,
+        "kind": g.kind, "radius": float(g.radius),
+        "half_length": float(g.half_length),
+        "offset_p": list(g.offset_p), "half_extents": list(g.half_extents),
+    }
+    if g.vertices is not None:
+        out["vertices"] = [list(v) for v in g.vertices]
+    return out
 
 
 def _set_from_spec(s: dict):
@@ -723,6 +767,10 @@ def _residual_to_spec(r, nsteps: int, model_spec):
             raise ValueError("cannot export a non-standard wrench-cone Acone")
         return {"type": "wrench_cone", "mu": mu, "half_length": hL,
                 "half_width": hW, **base}
+    if name == "FrameCollisionResidual":
+        return {"type": "frame_collision",
+                "geom1": _geom_to_spec(r.geom1, r.model),
+                "geom2": _geom_to_spec(r.geom2, r.model)}
     raise ValueError(f"cannot export residual {name}")
 
 

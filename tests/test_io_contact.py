@@ -334,3 +334,35 @@ def test_contact_residual_exporters_round_trip():
             np.asarray(r.value(x, u)), np.asarray(r2.value(x, u)),
             atol=1e-10, err_msg=spec["type"],
         )
+
+
+def test_frame_collision_spec_round_trip():
+    """Round 5: collision residuals (incl. convex hulls) serialize and
+    re-import equivalently — the geometry layer joins the spec schema."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from aligator_tpu import multibody as mb
+    from aligator_tpu.functions.frames import FrameCollisionResidual
+    from aligator_tpu.io import _residual_from_spec, _residual_to_spec, _Ctx
+    from aligator_tpu.multibody.geometry import GeomObject
+
+    model = mb.build_serial_chain(n_links=3)
+    space = mb.MultibodyPhaseSpace(model)
+    tool = model.frame_id("tool0")
+    tet = ((0.0, 0.0, 0.0), (0.1, 0.0, 0.0), (0.0, 0.1, 0.0),
+           (0.0, 0.0, 0.1))
+    r = FrameCollisionResidual(
+        model=model,
+        geom1=GeomObject(frame_id=tool, kind="sphere", radius=0.03),
+        geom2=GeomObject(frame_id=-1, kind="convex", radius=0.0,
+                         vertices=tet, offset_p=(0.5, 0.1, 0.2)),
+    )
+    spec = _residual_to_spec(r, nsteps=0, model_spec=None)
+    assert spec["geom2"]["frame"] is None and spec["geom2"]["kind"] == "convex"
+    r2 = _residual_from_spec(spec, space, _Ctx(dtype=jnp.float64, model=model))
+    x = jnp.concatenate([0.3 * jnp.ones(model.nq), jnp.zeros(model.nv)])
+    u = jnp.zeros(model.nv)
+    np.testing.assert_allclose(
+        np.asarray(r.value(x, u)), np.asarray(r2.value(x, u)), atol=1e-12
+    )
