@@ -365,9 +365,12 @@ def _check_tb(bsz: int, tb: int) -> None:
 # compile helper dies (HTTP 500, subprocess exit 1) compiling the fused
 # kernel's program above ~512×(N=100, nx=56) — measured B=512 OK /
 # B=768 fail on v5e — and chunking also bounds the live HBM footprint.
-# One chunk program is compiled once and iterated, so b1024 costs two
-# sequential b512 launches (r03's undiagnosed pallas_b1024 failure).
 _MAX_PALLAS_BATCH = 512
+# Chunk size once chunking engages: smaller than the threshold because a
+# chunk's packed-sheet temporaries (≈86 KB/knot) are live ON TOP of the
+# full-batch knots + gains — 512-wide chunks at b1024 measured an HBM
+# OOM on v5e, 256-wide fit.
+_PALLAS_CHUNK = 256
 
 
 def _chunked(fn, *args):
@@ -382,8 +385,11 @@ def _chunked(fn, *args):
     bsz = jax.tree.leaves(args[0])[0].shape[0]
     if bsz <= _MAX_PALLAS_BATCH:
         return None
-    nch = -(-bsz // _MAX_PALLAS_BATCH)
-    npad = nch * _MAX_PALLAS_BATCH - bsz
+    # the chunk must not exceed the threshold, else padding a small
+    # over-threshold batch up to the chunk size would recurse forever
+    ch = min(_PALLAS_CHUNK, _MAX_PALLAS_BATCH)
+    nch = -(-bsz // ch)
+    npad = nch * ch - bsz
     if npad:
         args = jax.tree.map(
             lambda a: jnp.concatenate(
@@ -392,7 +398,7 @@ def _chunked(fn, *args):
             args,
         )
     split = jax.tree.map(
-        lambda a: a.reshape((nch, _MAX_PALLAS_BATCH) + a.shape[1:]), args
+        lambda a: a.reshape((nch, ch) + a.shape[1:]), args
     )
 
     def body(ch):
@@ -406,7 +412,7 @@ def _chunked(fn, *args):
 
     out = jax.lax.map(body, split)
     return jax.tree.map(
-        lambda a: a.reshape((nch * _MAX_PALLAS_BATCH,) + a.shape[2:])[:bsz], out
+        lambda a: a.reshape((nch * ch,) + a.shape[2:])[:bsz], out
     )
 
 
