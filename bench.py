@@ -128,13 +128,17 @@ def bench_tpu():
     for lq_solver in LQ_SOLVERS:
         # assoc/parallel are characterized at b64 only (latency-oriented
         # solvers; the full horizon×batch story is docs/lq_crossover_r5.json).
-        # pallas b1024 is REAL again in r5: _chunked intercepts every
-        # batch > 512 (two ≤512 launches with the layout copies pinned
-        # in-loop), so the r3/r4 HBM-infeasible direct path — which
-        # FAULTED the device — can no longer be reached
+        # pallas tops out at b512 on one 16 GB chip: the r5 chunked path
+        # (≤256-wide launches, layout copies pinned in-loop) removed the
+        # r3/r4 device-faulting failure mode, but the MONOLITHIC b1024
+        # ProxDDP program still exceeds HBM (measured: b1024 OOMs at
+        # compile with the full-batch knots + gains + chunk temporaries
+        # live; serial b1024 fits and measures SLOWER than b256 anyway).
+        # A 1024-scenario sweep is therefore two sequential b512 calls
+        # at the recorded b512 rate.
         batches = {
             "serial": BATCHES,
-            "pallas": (64, 256, 512, 1024),
+            "pallas": (64, 256, 512),
         }.get(lq_solver, (64,))
         for batch in batches:
             try:
